@@ -1,0 +1,231 @@
+"""HMC kernels: plain HMC and flowed (field-transformation) HMC.
+
+TPU-native re-design of the reference kernels (fthmc/utils/qed_helpers.py:
+275-311 leapfrog/hmc, fthmc/hmc.py:57-175 run_hmc, fthmc/ft_hmc.py:109-346
+FieldTransformation):
+
+  - The leapfrog integrator is a lax.scan with a static step count; the force
+    is either the analytic sin-stencil (plain) or jax.grad through the whole
+    flow (FT-HMC, with per-layer remat).
+  - Chains are batched: every kernel acts on (B, 2, L, L) with a per-chain
+    Metropolis accept via jnp.where masks (branchless; the reference's Python
+    `if acc` single-chain branch, qed_helpers.py:309, cannot exist under jit).
+  - A whole run (ntraj trajectories) is ONE jitted lax.scan program; metric
+    histories come back as stacked device arrays (ntraj, B).
+  - Energy differences use elementwise-difference reductions (see
+    lattice.delta_action) so fp32 on TPU matches the reference's fp64-on-CPU
+    acceptance statistics.
+
+NOTE the reference FieldTransformation.leapfrog discards the integrated
+trajectory (ft_hmc.py:186-188 returns x + 0.5*dt*v with the INITIAL x) - a
+real bug per SURVEY.md; we implement the correct integrator, which matches
+the reference's own prototype ft_leapfrog (ipynb/ft_hmc.py:394-418) and
+qed_helpers.leapfrog.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fthmc_tpu import lattice
+from fthmc_tpu.config import FlowSpec, HMCConfig, LeapfrogConfig
+from fthmc_tpu.models.flow import flow_forward
+
+PI = math.pi
+TWO_PI = 2.0 * math.pi
+
+__all__ = ["leapfrog", "hmc_step", "run_hmc", "ft_action", "ft_force",
+           "fthmc_step", "run_fthmc", "TrajMetrics"]
+
+
+class TrajMetrics(NamedTuple):
+    """Per-trajectory, per-chain metrics (each (B,))."""
+    dh: jnp.ndarray
+    exp_mdh: jnp.ndarray
+    acc: jnp.ndarray
+    plaq: jnp.ndarray
+    q: jnp.ndarray
+    dq: jnp.ndarray
+
+
+def leapfrog(x: jnp.ndarray, v: jnp.ndarray, dt: float, nstep: int,
+             force_fn: Callable[[jnp.ndarray], jnp.ndarray]):
+    """Position-Verlet leapfrog, identical stepping to the reference
+    (qed_helpers.py:275-295): half drift, nstep kicks with unit drifts
+    between, half drift. nstep is static -> one compiled scan."""
+    x = x + 0.5 * dt * v
+
+    def body(carry, _):
+        x, v = carry
+        v = v - dt * force_fn(x)
+        x = x + dt * v
+        return (x, v), None
+
+    (x, v), _ = jax.lax.scan(body, (x, v), None, length=nstep)
+    x = x - 0.5 * dt * v
+    return x, v
+
+
+def _kinetic_delta(v1: jnp.ndarray, v0: jnp.ndarray) -> jnp.ndarray:
+    """0.5 (sum v1^2 - sum v0^2) per chain, as a well-conditioned elementwise
+    difference reduction."""
+    d = (v1 - v0) * (v1 + v0)
+    return 0.5 * jnp.sum(d.reshape(d.shape[0], -1), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Plain HMC
+# ---------------------------------------------------------------------------
+
+def hmc_step(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
+             beta: float, dt: float, nstep: int):
+    """One batched HMC trajectory. x: (B, 2, L, L). Returns (x', q', metrics).
+
+    (reference qed_helpers.py:298-311, batched accept as in ft_hmc.py:246-249)
+    """
+    kv, ka = jax.random.split(key)
+    v0 = jax.random.normal(kv, x.shape, x.dtype)
+
+    force_fn = partial(lattice.batch_force, beta=beta)
+    x1, v1 = leapfrog(x, v0, dt, nstep, force_fn)
+    x1 = lattice.wrap(x1)
+
+    ds = jax.vmap(partial(lattice.delta_action, beta=beta))(x1, x)
+    dh = ds + _kinetic_delta(v1, v0)
+    exp_mdh = jnp.exp(-dh)
+    u = jax.random.uniform(ka, dh.shape, dh.dtype)
+    acc = u < exp_mdh
+    x_new = jnp.where(acc[:, None, None, None], x1, x)
+
+    q_new = lattice.batch_charges(x_new)
+    metrics = TrajMetrics(
+        dh=dh, exp_mdh=exp_mdh, acc=acc.astype(x.dtype),
+        plaq=lattice.batch_plaq_mean(x_new),
+        q=q_new, dq=jnp.abs(q_new - q_old),
+    )
+    return x_new, q_new, metrics
+
+
+@partial(jax.jit, static_argnames=("beta", "dt", "nstep", "ntraj"))
+def _run_hmc_scan(key, x0, beta, dt, nstep, ntraj):
+    q0 = lattice.batch_charges(x0)
+
+    def body(carry, key):
+        x, q = carry
+        x, q, m = hmc_step(key, x, q, beta, dt, nstep)
+        return (x, q), m
+
+    keys = jax.random.split(key, ntraj)
+    (x, _), history = jax.lax.scan(body, (x0, q0), keys)
+    return x, history
+
+
+def run_hmc(cfg: HMCConfig, x0: jnp.ndarray | None = None,
+            key: jax.Array | None = None, dtype=jnp.float32):
+    """Run cfg.ntraj batched trajectories as one compiled program.
+
+    Returns (x_final, TrajMetrics history with arrays (ntraj, n_chains)).
+    (reference run_hmc, fthmc/hmc.py:57-175 - metrics/history parity, minus
+    matplotlib)
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    if x0 is None:
+        if cfg.randinit:
+            key, k0 = jax.random.split(key)
+            x0 = lattice.hot_start(k0, cfg.n_chains, cfg.L, dtype)
+        else:
+            x0 = jnp.zeros((cfg.n_chains, 2, cfg.L, cfg.L), dtype)
+    return _run_hmc_scan(key, x0, cfg.beta, cfg.dt, cfg.nstep, cfg.ntraj)
+
+
+# ---------------------------------------------------------------------------
+# Flowed HMC (the flagship capability)
+# ---------------------------------------------------------------------------
+
+def ft_action(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
+              remat: bool = True) -> jnp.ndarray:
+    """Effective action in latent space: S_eff(z) = S(f(z)) - log|det df/dz|,
+    per chain (B,). (reference ft_hmc.py:135-141, qed_helpers.py:212-223)"""
+    y, logdet = flow_forward(params, z, spec, remat=remat)
+    return lattice.batch_action(y, beta) - logdet
+
+
+def ft_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
+             remat: bool = True) -> jnp.ndarray:
+    """dS_eff/dz via autodiff through the whole flow (VJP; reference
+    ft_hmc.py:162-171 / qed_helpers.py:226-242)."""
+    return jax.grad(
+        lambda zz: jnp.sum(ft_action(params, spec, zz, beta, remat=remat))
+    )(z)
+
+
+def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
+               q_old: jnp.ndarray, beta: float, dt: float, nstep: int,
+               remat: bool = True):
+    """One batched FT-HMC trajectory in latent space z: (B, 2, L, L).
+
+    Returns (z', y_phys', q', metrics). The chain state stays latent
+    throughout the run (reference FieldTransformation.run, ft_hmc.py:272-346);
+    observables are measured on the physical field y = f(z).
+    """
+    kv, ka = jax.random.split(key)
+    v0 = jax.random.normal(kv, z.shape, z.dtype)
+
+    y0, logdet0 = flow_forward(params, z, spec, remat=remat)
+    force_fn = lambda zz: ft_force(params, spec, zz, beta, remat=remat)
+    z1, v1 = leapfrog(z, v0, dt, nstep, force_fn)
+    z1 = lattice.wrap(z1)
+    y1, logdet1 = flow_forward(params, z1, spec, remat=remat)
+
+    # dH = [S(y1) - logdet1] - [S(y0) - logdet0] + dK, with the Wilson term
+    # as an elementwise cos-difference reduction for fp32 robustness.
+    dsw = -beta * jnp.sum(
+        (jnp.cos(lattice.batch_plaqs(y1)) - jnp.cos(lattice.batch_plaqs(y0))
+         ).reshape(z.shape[0], -1), axis=-1)
+    dh = dsw - (logdet1 - logdet0) + _kinetic_delta(v1, v0)
+    exp_mdh = jnp.exp(-dh)
+    u = jax.random.uniform(ka, dh.shape, dh.dtype)
+    acc = u < exp_mdh
+
+    accb = acc[:, None, None, None]
+    z_new = jnp.where(accb, z1, z)
+    y_new = jnp.where(accb, y1, y0)
+
+    q_new = lattice.batch_charges(y_new)
+    metrics = TrajMetrics(
+        dh=dh, exp_mdh=exp_mdh, acc=acc.astype(z.dtype),
+        plaq=lattice.batch_plaq_mean(y_new),
+        q=q_new, dq=jnp.abs(q_new - q_old),
+    )
+    return z_new, y_new, q_new, metrics
+
+
+@partial(jax.jit, static_argnames=("spec", "beta", "dt", "nstep", "ntraj",
+                                   "remat"))
+def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat):
+    y0, _ = flow_forward(params, z0, spec, remat=remat)
+    q0 = lattice.batch_charges(y0)
+
+    def body(carry, key):
+        z, q = carry
+        z, _, q, m = fthmc_step(params, spec, key, z, q, beta, dt, nstep,
+                                remat=remat)
+        return (z, q), m
+
+    keys = jax.random.split(key, ntraj)
+    (z, _), history = jax.lax.scan(body, (z0, q0), keys)
+    return z, history
+
+
+def run_fthmc(params, spec: FlowSpec, lf: LeapfrogConfig, *, beta: float,
+              ntraj: int, z0: jnp.ndarray, key: jax.Array,
+              remat: bool = True):
+    """Run ntraj batched FT-HMC trajectories as one compiled program.
+    Returns (z_final, TrajMetrics history (ntraj, B))."""
+    return _run_fthmc_scan(params, spec, key, z0, beta, lf.dt, lf.nstep,
+                           ntraj, remat)

@@ -1,0 +1,121 @@
+"""Quality metrics and physics observables.
+
+Reference parity:
+  - calc_dkl / calc_ess          fthmc/utils/distributions.py:23-37
+  - bootstrap                    fthmc/utils/distributions.py:13-20
+  - topological susceptibility   fthmc/utils/samplers.py:80-102
+  - blocked dQ^2 vs dt           ipynb/ft_hmc.py:29-53 (prototype-only feature)
+  - tau_int(Q)                   paper-level headline metric (arXiv:2112.01586);
+                                 standard Madras-Sokal windowing, new here.
+
+Device-side metrics (dkl, ess) are jnp and jit-safe; ensemble statistics
+(bootstrap, tau_int, blocked stats) are host-side numpy over finished runs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["calc_dkl", "calc_ess", "bootstrap", "topo_susceptibility",
+           "tau_int", "blocked_dq_sq_vs_dt", "acceptance_rate"]
+
+
+# ---------------------------------------------------------------------------
+# device-side (jit-safe)
+# ---------------------------------------------------------------------------
+
+def calc_dkl(logp: jnp.ndarray, logq: jnp.ndarray) -> jnp.ndarray:
+    """Reverse KL estimate E_q[log q - log p] over the batch."""
+    return jnp.mean(logq - logp)
+
+
+def calc_ess(logp: jnp.ndarray, logq: jnp.ndarray) -> jnp.ndarray:
+    """Normalized effective sample size of importance weights w = p/q,
+    ESS = (sum w)^2 / (N sum w^2), computed in log space."""
+    logw = logp - logq
+    log_ess = (2.0 * jax.nn.logsumexp(logw, axis=0)
+               - jax.nn.logsumexp(2.0 * logw, axis=0))
+    return jnp.exp(log_ess) / logw.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# host-side ensemble statistics
+# ---------------------------------------------------------------------------
+
+def bootstrap(x: np.ndarray, *, nboot: int, binsize: int,
+              rng: np.random.Generator | None = None):
+    """Binned bootstrap mean/err (reference distributions.py:13-20).
+
+    Bins `x` along axis 0 into blocks of `binsize` (dropping the remainder at
+    the front), resamples blocks with replacement `nboot` times.
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    x = np.asarray(x)
+    nbin = len(x) // binsize
+    x = x[len(x) - nbin * binsize:].reshape(nbin, binsize, *x.shape[1:])
+    boots = [
+        np.mean(x[rng.integers(nbin, size=nbin)], axis=(0, 1))
+        for _ in range(nboot)
+    ]
+    return float(np.mean(boots)), float(np.std(boots))
+
+
+def topo_susceptibility(q: np.ndarray, *, nboot: int = 100, binsize: int = 16,
+                        rng=None):
+    """chi_Q = <Q^2> with binned-bootstrap error (reference samplers.py:88-96)."""
+    return bootstrap(np.asarray(q) ** 2, nboot=nboot, binsize=binsize, rng=rng)
+
+
+def acceptance_rate(acc: np.ndarray) -> float:
+    return float(np.mean(np.asarray(acc, dtype=np.float64)))
+
+
+def tau_int(x: np.ndarray, c: float = 4.0, max_lag: int | None = None) -> float:
+    """Integrated autocorrelation time with the Madras-Sokal automatic window
+    (W = first lag where W >= c * tau_int(W)). x: 1D series."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean()
+    n = len(x)
+    if n < 2 or np.allclose(x, 0.0):
+        return 0.5
+    if max_lag is None:
+        max_lag = n // 2
+    # FFT autocovariance
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, m)
+    acov = np.fft.irfft(f * np.conj(f), m)[:n].real / np.arange(n, 0, -1)
+    if acov[0] <= 0:
+        return 0.5
+    rho = acov / acov[0]
+    t = 0.5
+    for w in range(1, max_lag):
+        t += rho[w]
+        if w >= c * t:
+            break
+    return float(max(t, 0.5))
+
+
+def blocked_dq_sq_vs_dt(q: np.ndarray, dt_range: int = 10,
+                        n_block: int = 16) -> list[tuple[int, float, float]]:
+    """Blocked <(Q(t) - Q(t+dt))^2> vs dt - the topological-mobility proxy
+    from the prototype (ipynb/ft_hmc.py:29-53 change_sqr_vs_dt/block_list).
+
+    Returns [(dt, mean, err), ...] for dt = 1..dt_range.
+    """
+    q = np.asarray(q, dtype=np.float64)
+    out = []
+    for dt in range(1, dt_range + 1):
+        if len(q) <= dt:
+            break
+        d2 = (q[:-dt] - q[dt:]) ** 2
+        nb = min(n_block, len(d2))
+        size = max(len(d2) // nb, 1)
+        nb = len(d2) // size
+        blocks = d2[len(d2) - nb * size:].reshape(nb, size).mean(axis=1)
+        mean = float(blocks.mean())
+        err = (float(blocks.std(ddof=0) / np.sqrt(max(nb - 1, 1)))
+               if nb > 1 else 0.0)
+        out.append((dt, mean, err))
+    return out

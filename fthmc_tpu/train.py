@@ -1,0 +1,232 @@
+"""Flow training: reverse-KL (+ optional force-matching) with optax.
+
+Reference parity: fthmc/train.py:162-228 (train_step), :236-431 (train loop,
+era x epoch with per-era checkpoints), ipynb/ft_hmc.py:253-346 (force-matching
+objective, a prototype-only feature the package left commented out,
+train.py:326-334).
+
+TPU design: ONE jitted step function does sample -> flow -> loss -> grad ->
+optax update; the era/epoch nesting is a host loop around it (checkpoint and
+logging cadence), so steps/sec is pure device throughput. The same flow apply
+is shared verbatim by the samplers (the "one jitted step" north star).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fthmc_tpu import lattice
+from fthmc_tpu.config import FlowSpec, SchedulerConfig, TrainConfig
+from fthmc_tpu.hmc import ft_force
+from fthmc_tpu.models.flow import flow_forward, flow_reverse, init_flow_params
+from fthmc_tpu.models.priors import uniform_link_prior
+from fthmc_tpu.observables import calc_dkl, calc_ess
+
+__all__ = ["TrainState", "init_train_state", "reverse_kl_loss", "train_step",
+           "force_matching_step", "train", "make_optimizer",
+           "plateau_scheduler_update"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: jnp.ndarray            # int32 scalar
+    # reduce-on-plateau bookkeeping (device-side so the step stays jittable)
+    lr_scale: jnp.ndarray        # float scalar multiplying base_lr
+    best_loss: jnp.ndarray
+    plateau_count: jnp.ndarray   # int32
+
+
+def make_optimizer(base_lr: float) -> optax.GradientTransformation:
+    """Adam at base_lr, with an inject_hyperparams LR so a plateau scheduler
+    can rescale it on device (reference: optim.Adam + ReduceLROnPlateau,
+    train.py:296-297,314-317)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=base_lr)
+
+
+def init_train_state(key: jax.Array, cfg: TrainConfig,
+                     params=None, dtype=jnp.float32) -> TrainState:
+    kp, kr = jax.random.split(key)
+    if params is None:
+        params = init_flow_params(kp, cfg.flow, dtype=dtype)
+    opt = make_optimizer(cfg.base_lr)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        key=kr,
+        step=jnp.zeros((), jnp.int32),
+        lr_scale=jnp.ones((), jnp.float32),
+        best_loss=jnp.full((), jnp.inf, jnp.float32),
+        plateau_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def sample_and_logq(params, spec: FlowSpec, key: jax.Array, batch: int, L: int,
+                    dtype=jnp.float32):
+    """Draw z ~ prior, push through the flow: returns (x, z, logq).
+
+    logq(x) = logprior(z) - logdet f(z). (reference apply_flow_to_prior,
+    samplers.py:40-56)
+    """
+    prior = uniform_link_prior(L, dtype)
+    z = prior.sample_n(key, batch)
+    x, logdet = flow_forward(params, z, spec)
+    logq = prior.log_prob(z) - logdet
+    return x, z, logq
+
+
+def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
+                    L: int, beta: float, dkl_factor: float = 1.0,
+                    dtype=jnp.float32):
+    """loss = dkl_factor * E_q[logq - logp], logp = -S(x).
+    Returns (loss, aux dict). (reference train_step, train.py:192-204)"""
+    x, z, logq = sample_and_logq(params, spec, key, batch, L, dtype)
+    logp = -lattice.batch_action(x, beta)
+    dkl = calc_dkl(logp, logq)
+    aux = {"logp": logp, "logq": logq, "x": x, "z": z, "dkl": dkl}
+    return dkl_factor * dkl, aux
+
+
+@partial(jax.jit, static_argnames=("spec", "batch", "L", "beta", "dkl_factor",
+                                   "base_lr"))
+def train_step(state: TrainState, spec: FlowSpec, batch: int, L: int,
+               beta: float, dkl_factor: float, base_lr: float):
+    """One jitted reverse-KL training step -> (new_state, metrics dict).
+
+    Metrics mirror the reference (train.py:217-226): ess, logp, logq,
+    loss_dkl, q, dq (|Q(x) - Q(z)|), plaq.
+    """
+    key, kstep = jax.random.split(state.key)
+
+    def loss_fn(params):
+        return reverse_kl_loss(params, spec, kstep, batch, L, beta,
+                               dkl_factor)
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+
+    opt = make_optimizer(base_lr)
+    opt_state = state.opt_state
+    # plateau-scaled LR (scheduler state updated host-side per epoch)
+    opt_state.hyperparams["learning_rate"] = base_lr * state.lr_scale
+    updates, opt_state = opt.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    q = lattice.batch_charges(aux["x"])
+    qi = lattice.batch_charges(aux["z"])
+    metrics = {
+        "loss_dkl": loss,
+        "dkl": aux["dkl"],
+        "ess": calc_ess(aux["logp"], aux["logq"]),
+        "logp": jnp.mean(aux["logp"]),
+        "logq": jnp.mean(aux["logq"]),
+        "q": q,
+        "dq": jnp.abs(q - qi),
+        "plaq": jnp.mean(aux["logp"]) / (beta * L * L),
+    }
+    new_state = TrainState(params, opt_state, key, state.step + 1,
+                           state.lr_scale, state.best_loss,
+                           state.plateau_count)
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("spec", "batch", "L", "beta", "base_lr",
+                                   "lr_factor"))
+def force_matching_step(state: TrainState, spec: FlowSpec, batch: int, L: int,
+                        beta: float, base_lr: float, lr_factor: float):
+    """Force-matching objective: loss = sum ||F_eff||^2 over a prior batch,
+    optimized at base_lr * lr_factor (prototype ipynb/ft_hmc.py:253-299:
+    `with_force` branch; grad-of-grad == create_graph=True there).
+
+    The reference distills through a frozen pre_model; here the latent batch
+    is drawn from the prior directly (equivalent sampling of the z-space
+    measure for the ||F||^2 objective, without the bisection inverse).
+    """
+    key, kstep = jax.random.split(state.key)
+    prior = uniform_link_prior(L)
+    z = prior.sample_n(kstep, batch)
+
+    def loss_fn(params):
+        f = ft_force(params, spec, z, beta)
+        return jnp.sum(f * f)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+
+    opt = make_optimizer(base_lr)
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = (
+        base_lr * lr_factor * state.lr_scale)
+    updates, opt_state = opt.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    new_state = TrainState(params, opt_state, key, state.step + 1,
+                           state.lr_scale, state.best_loss,
+                           state.plateau_count)
+    return new_state, {"loss_force": loss}
+
+
+def plateau_scheduler_update(state: TrainState, loss: float,
+                             sched: SchedulerConfig,
+                             base_lr: float) -> TrainState:
+    """Host-side reduce-on-plateau (reference ReduceLROnPlateau,
+    train.py:314-317): if loss hasn't improved by `threshold` (rel) for
+    `patience` epochs, multiply lr_scale by `factor`, floored at min_lr."""
+    best = float(state.best_loss)
+    improved = loss < best - sched.threshold * abs(best) if best != float(
+        "inf") else True
+    if improved:
+        return state._replace(
+            best_loss=jnp.asarray(loss, jnp.float32),
+            plateau_count=jnp.zeros((), jnp.int32))
+    count = int(state.plateau_count) + 1
+    if count > sched.patience:
+        new_scale = max(float(state.lr_scale) * sched.factor,
+                        sched.min_lr / base_lr)
+        return state._replace(
+            lr_scale=jnp.asarray(new_scale, jnp.float32),
+            plateau_count=jnp.zeros((), jnp.int32))
+    return state._replace(plateau_count=jnp.asarray(count, jnp.int32))
+
+
+def train(cfg: TrainConfig, state: TrainState | None = None,
+          scheduler: SchedulerConfig | None = None,
+          callback=None, checkpoint_fn=None):
+    """Era x epoch training driver (reference train, train.py:236-431).
+
+    callback(step, metrics_host) per epoch; checkpoint_fn(era, state, history)
+    per era. Returns (state, history dict of lists).
+    """
+    if state is None:
+        state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    history: dict[str, list] = {}
+    spec = cfg.flow
+
+    for era in range(cfg.n_era):
+        t0 = time.time()
+        for epoch in range(cfg.n_epoch):
+            state, metrics = train_step(
+                state, spec, cfg.batch_size, cfg.L, cfg.beta,
+                cfg.dkl_factor, cfg.base_lr)
+            if cfg.with_force:
+                state, fmetrics = force_matching_step(
+                    state, spec, cfg.batch_size, cfg.L, cfg.beta,
+                    cfg.base_lr, cfg.force_lr_factor)
+                metrics = {**metrics, **fmetrics}
+            host = {k: jax.device_get(v) for k, v in metrics.items()}
+            host["dt"] = time.time() - t0
+            for k, v in host.items():
+                history.setdefault(k, []).append(v)
+            if scheduler is not None:
+                state = plateau_scheduler_update(
+                    state, float(host["loss_dkl"]), scheduler, cfg.base_lr)
+            if callback is not None:
+                callback(int(state.step), host)
+        if checkpoint_fn is not None:
+            checkpoint_fn(era, state, history)
+    return state, history
