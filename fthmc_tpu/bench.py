@@ -1,0 +1,141 @@
+"""Benchmark harness: leapfrog throughput + FT-HMC + training steps/sec.
+
+Headline metric (BASELINE.json north star): plain-HMC leapfrog
+chain-steps/sec on one chip at 64^2, beta=6, 1024 vmapped chains.
+
+Reference baseline derivation (BASELINE.md): the reference CPU runs
+0.033-0.043 s/traj at 12^2 (~3.8 ms/leapfrog step at nstep=10, single
+chain); volume-scaling 12^2 -> 64^2 by x(4096/144) gives ~108 ms/step,
+i.e. ~9.3 chain-steps/sec. FT-HMC reference: ~183 ms/leapfrog step at 8^2
+with a 16-layer flow (11.7 s/traj / 64 steps).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fthmc_tpu import lattice
+from fthmc_tpu.config import FlowSpec, HMCConfig, LeapfrogConfig, TrainConfig
+from fthmc_tpu.hmc import run_fthmc, run_hmc
+from fthmc_tpu.models.flow import init_flow_params
+from fthmc_tpu.train import init_train_state, train_step
+
+# reference CPU leapfrog throughput at 64^2 (chain-steps/sec), see docstring
+BASELINE_LEAPFROG_64 = 9.3
+
+
+def _sync(x) -> float:
+    """Force full materialization: a device reduction + host transfer.
+
+    jax.block_until_ready alone is not a reliable fence on remote-tunnel
+    backends (observed: sub-ms 'completion' of multi-hundred-ms programs);
+    pulling a scalar derived from the whole array is.
+    """
+    return float(jnp.sum(x))
+# reference CPU FT-HMC leapfrog at 8^2, 16-layer flow (chain-steps/sec)
+BASELINE_FT_LEAPFROG_8 = 1.0 / 0.183
+
+
+def bench_hmc_leapfrog(L: int = 64, chains: int = 1024, beta: float = 6.0,
+                       nstep: int = 25, tau: float = 1.0, ntraj: int = 20,
+                       repeats: int = 5) -> dict:
+    """Plain-HMC leapfrog chain-steps/sec on one chip.
+
+    dt = tau/nstep = 0.04 keeps acceptance high at 64^2 beta=6 (the
+    reference's 64^2 prototype default is tau=2, nstep=50 -> the same dt,
+    ipynb/ft_hmc.py Param defaults), so the benchmark measures a
+    physically-useful trajectory, not a throwaway one.
+    """
+    # cold start: at large beta the ordered vacuum is near equilibrium, so
+    # the short benchmark run measures physically-accepted trajectories
+    # (a hot start at beta=6, 64^2 rejects ~everything for hundreds of
+    # trajectories)
+    cfg = HMCConfig(beta=beta, L=L, tau=tau, nstep=nstep, ntraj=ntraj,
+                    n_chains=chains, randinit=False, seed=0)
+    # warmup (compile + thermalize a little)
+    x, hist = run_hmc(cfg)
+    _sync(x)
+    times = []
+    for i in range(repeats):
+        key = jax.random.PRNGKey(1000 + i)
+        t0 = time.perf_counter()
+        x, hist = run_hmc(cfg, x0=x, key=key)
+        _sync(x)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    val = chains * ntraj * nstep / dt
+    return {
+        "metric": f"hmc_leapfrog_chain_steps_per_sec_L{L}",
+        "value": val,
+        "unit": "chain-steps/s/chip",
+        "vs_baseline": val / BASELINE_LEAPFROG_64,
+        "acc": float(np.asarray(hist.acc).mean()),
+    }
+
+
+def bench_fthmc_leapfrog(L: int = 8, chains: int = 64, beta: float = 2.0,
+                         n_layers: int = 16, nstep: int = 64,
+                         ntraj: int = 4, repeats: int = 2) -> dict:
+    """FT-HMC leapfrog chain-steps/sec (force = VJP through the flow)."""
+    spec = FlowSpec(n_layers=n_layers, n_mixture=2, hidden_sizes=(8, 8))
+    params = init_flow_params(jax.random.PRNGKey(0), spec)
+    lf = LeapfrogConfig(tau=1.0, nstep=nstep)
+    z0 = lattice.hot_start(jax.random.PRNGKey(1), chains, L)
+    z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=ntraj, z0=z0,
+                        key=jax.random.PRNGKey(2))
+    _sync(z)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=ntraj,
+                            z0=z, key=jax.random.PRNGKey(3 + i))
+        _sync(z)
+        times.append(time.perf_counter() - t0)
+    val = chains * ntraj * nstep / float(np.median(times))
+    return {
+        "metric": f"fthmc_leapfrog_chain_steps_per_sec_L{L}",
+        "value": val,
+        "unit": "chain-steps/s/chip",
+        "vs_baseline": val / BASELINE_FT_LEAPFROG_8,
+    }
+
+
+def bench_train(L: int = 8, batch: int = 64, beta: float = 2.0,
+                n_layers: int = 16, steps: int = 20) -> dict:
+    """Reverse-KL training steps/sec (reference: ~0.52 s/step on a Colab
+    GPU: 520 s for 1000 epochs, BASELINE.md)."""
+    spec = FlowSpec(n_layers=n_layers, n_mixture=2, hidden_sizes=(8, 8))
+    cfg = TrainConfig(L=L, beta=beta, batch_size=batch, flow=spec, seed=0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    state, _ = train_step(state, spec, batch, L, beta, 1.0, cfg.base_lr)
+    _sync(state.params[0][0]["w"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, _ = train_step(state, spec, batch, L, beta, 1.0, cfg.base_lr)
+    _sync(state.params[0][0]["w"])
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    return {
+        "metric": f"train_steps_per_sec_L{L}_b{batch}",
+        "value": sps,
+        "unit": "steps/s/chip",
+        "vs_baseline": sps / (1.0 / 0.52),
+    }
+
+
+def run_benchmarks(L: int = 64, chains: int = 1024, beta: float = 6.0,
+                   which: str = "hmc") -> dict:
+    out = {}
+    if which in ("hmc", "all"):
+        out["hmc"] = bench_hmc_leapfrog(L=L, chains=chains, beta=beta)
+        print(out["hmc"])
+    if which in ("fthmc", "all"):
+        out["fthmc"] = bench_fthmc_leapfrog()
+        print(out["fthmc"])
+    if which in ("train", "all"):
+        out["train"] = bench_train()
+        print(out["train"])
+    return out

@@ -1,0 +1,364 @@
+"""Experiment orchestration CLI.
+
+Reference parity: fthmc/main.py (parse_configs/setup/main: HMC baseline ->
+train flow -> flow-sampling eval -> FT-HMC -> volume transfer to 2L), as
+subcommands:
+
+    python -m fthmc_tpu.cli hmc      --beta 2.0 --L 8 --ntraj 256
+    python -m fthmc_tpu.cli train    --beta 2.0 --L 8 --n-era 2 --n-epoch 50
+    python -m fthmc_tpu.cli sample   --beta 2.0 --L 8 --ckpt <dir>
+    python -m fthmc_tpu.cli fthmc    --beta 2.0 --L 8 --ckpt <dir> --nstep 64
+    python -m fthmc_tpu.cli pipeline --json-file configs.json
+    python -m fthmc_tpu.cli bench    --L 64 --chains 1024
+
+`pipeline` runs the full reference flow including the transfer to a 2L
+lattice (main.py:268-304).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fthmc_tpu import lattice
+from fthmc_tpu.checkpoint import (find_and_load_checkpoint, save_checkpoint,
+                                  save_history)
+from fthmc_tpu.config import (FlowSpec, HMCConfig, LeapfrogConfig,
+                              SchedulerConfig, TrainConfig, load_json_configs)
+from fthmc_tpu.hmc import run_fthmc, run_hmc
+from fthmc_tpu.models.flow import count_parameters
+from fthmc_tpu.observables import (acceptance_rate, tau_int,
+                                   topo_susceptibility)
+from fthmc_tpu.sampling import generate_ensemble
+from fthmc_tpu.train import init_train_state, train
+from fthmc_tpu.utils.logger import Logger, MetricsWriter
+
+logger = Logger()
+
+
+def _summarize_hmc(hist, therm_frac: float = 0.25) -> dict:
+    n = hist.plaq.shape[0]
+    t = int(n * therm_frac)
+    q = np.asarray(hist.q)[t:]
+    out = {
+        "acc": float(np.asarray(hist.acc)[t:].mean()),
+        "plaq": float(np.asarray(hist.plaq)[t:].mean()),
+        "exp_mdh": float(np.asarray(hist.exp_mdh)[t:].mean()),
+        "dh_abs": float(np.abs(np.asarray(hist.dh)[t:]).mean()),
+        "chi_q": float(np.mean(q**2)),
+        "tau_int_q": float(np.mean(
+            [tau_int(q[:, c]) for c in range(q.shape[1])])),
+    }
+    return out
+
+
+def cmd_hmc(args) -> dict:
+    cfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau, nstep=args.nstep,
+                    ntraj=args.ntraj, n_chains=args.chains, seed=args.seed,
+                    randinit=True)
+    logger.rule(f"HMC {cfg.L}x{cfg.L} beta={cfg.beta}")
+    t0 = time.time()
+    x, hist = run_hmc(cfg)
+    jax.block_until_ready(x)
+    dt = time.time() - t0
+    stats = _summarize_hmc(hist)
+    stats["s_per_traj"] = dt / cfg.ntraj
+    stats["exact_plaq"] = lattice.PLAQ_EXACT.get(cfg.beta)
+    logger.print_metrics(stats)
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        save_history({k: np.asarray(getattr(hist, k))
+                      for k in hist._fields},
+                     os.path.join(args.outdir, "hmc_history.npz"))
+    return stats
+
+
+def _flow_spec(args) -> FlowSpec:
+    return FlowSpec(n_layers=args.n_layers, n_mixture=args.n_mixture,
+                    hidden_sizes=tuple(args.hidden), kernel_size=args.kernel,
+                    activation=args.activation)
+
+
+def cmd_train(args) -> dict:
+    spec = _flow_spec(args)
+    cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
+                      n_epoch=args.n_epoch, batch_size=args.batch_size,
+                      base_lr=args.lr, flow=spec, seed=args.seed,
+                      with_force=args.with_force)
+    outdir = args.outdir or cfg.logdir()
+    ckptdir = os.path.join(outdir, "checkpoints")
+    logger.rule(f"train flow {cfg.L}x{cfg.L} beta={cfg.beta} "
+                f"({spec.n_layers} layers)")
+
+    state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    logger.log(f"flow parameters: {count_parameters(state.params)}")
+    if cfg.restore or args.restore:
+        found = find_and_load_checkpoint(ckptdir, state)
+        if found is not None:
+            state, meta = found
+            logger.log(f"restored checkpoint era={meta.get('era')}")
+
+    writer = MetricsWriter(os.path.join(outdir, "train_metrics.jsonl"))
+    sched = (SchedulerConfig(factor=args.sched_factor,
+                             patience=args.sched_patience)
+             if args.scheduler else None)
+
+    def cb(step, metrics):
+        writer.write(step, metrics, prefix="training")
+        if step % cfg.print_freq == 0:
+            logger.print_metrics(
+                {k: metrics[k] for k in
+                 ("loss_dkl", "ess", "plaq", "dq") if k in metrics},
+                pre=[f"step={step}"])
+
+    def ckpt(era, st, history):
+        save_checkpoint(ckptdir, st, era=era, epoch=cfg.n_epoch,
+                        history=None)
+
+    t0 = time.time()
+    state, history = train(cfg, state, scheduler=sched, callback=cb,
+                           checkpoint_fn=ckpt)
+    wall = time.time() - t0
+    save_history({k: np.asarray(v, dtype=np.float64)
+                  for k, v in history.items() if np.ndim(v[0]) == 0},
+                 os.path.join(outdir, "train_history.npz"))
+    writer.close()
+    final = {"wall_s": wall,
+             "ess": float(np.mean(history["ess"][-10:])),
+             "loss_dkl": float(np.mean(history["loss_dkl"][-10:])),
+             "outdir": outdir}
+    logger.print_metrics({k: v for k, v in final.items() if k != "outdir"})
+    return {"state": state, "cfg": cfg, "outdir": outdir, **final}
+
+
+def cmd_sample(args, state=None, spec=None) -> dict:
+    if spec is None:
+        spec = _flow_spec(args)
+    if state is None:
+        cfg = TrainConfig(L=args.L, beta=args.beta, flow=spec)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        found = find_and_load_checkpoint(
+            args.ckpt or os.path.join(cfg.logdir(), "checkpoints"), state)
+        if found is None:
+            raise SystemExit("no checkpoint found; pass --ckpt")
+        state, _ = found
+    logger.rule(f"flow sampling {args.L}x{args.L} beta={args.beta}")
+    out = generate_ensemble(
+        state.params, spec, beta=args.beta, L=args.L,
+        ensemble_size=args.ensemble_size, batch_size=args.batch_size,
+        key=jax.random.PRNGKey(args.seed))
+    logger.print_metrics({k: out[k] for k in
+                          ("accept_rate", "suscept_mean", "suscept_err")})
+    return out
+
+
+def cmd_fthmc(args, state=None, spec=None) -> dict:
+    if spec is None:
+        spec = _flow_spec(args)
+    if state is None:
+        cfg = TrainConfig(L=args.L, beta=args.beta, flow=spec)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        found = find_and_load_checkpoint(
+            args.ckpt or os.path.join(cfg.logdir(), "checkpoints"), state)
+        if found is None:
+            raise SystemExit("no checkpoint found; pass --ckpt")
+        state, _ = found
+    lf = LeapfrogConfig(tau=args.tau, nstep=args.nstep)
+    logger.rule(f"FT-HMC {args.L}x{args.L} beta={args.beta} "
+                f"tau={lf.tau} nstep={lf.nstep}")
+    key = jax.random.PRNGKey(args.seed)
+    z0 = lattice.hot_start(key, args.chains, args.L)
+    t0 = time.time()
+    z, hist = run_fthmc(state.params, spec, lf, beta=args.beta,
+                        ntraj=args.ntraj, z0=z0, key=key)
+    jax.block_until_ready(z)
+    dt = time.time() - t0
+    stats = _summarize_hmc(hist)
+    stats["s_per_traj"] = dt / args.ntraj
+    logger.print_metrics(stats)
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        save_history({k: np.asarray(getattr(hist, k))
+                      for k in hist._fields},
+                     os.path.join(args.outdir, "fthmc_history.npz"))
+    return stats
+
+
+def cmd_pipeline(args) -> dict:
+    """Full reference pipeline (main.py:268-304): HMC baseline -> train ->
+    flow eval -> FT-HMC -> transfer to 2L (re-apply + fine-tune) -> repeat
+    eval at 2L."""
+    if args.json_file:
+        hmc_cfg, train_cfg, lf, sched = load_json_configs(args.json_file)
+    else:
+        hmc_cfg = HMCConfig(beta=args.beta, L=args.L, ntraj=args.ntraj,
+                            n_chains=args.chains)
+        train_cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
+                                n_epoch=args.n_epoch, flow=_flow_spec(args))
+        lf, sched = LeapfrogConfig(tau=args.tau, nstep=args.nstep), None
+
+    results: dict = {}
+
+    # 1. HMC baseline
+    ns = argparse.Namespace(beta=hmc_cfg.beta, L=hmc_cfg.L, tau=hmc_cfg.tau,
+                            nstep=hmc_cfg.nstep, ntraj=hmc_cfg.ntraj,
+                            chains=hmc_cfg.n_chains, seed=hmc_cfg.seed,
+                            outdir=None)
+    results["hmc"] = cmd_hmc(ns)
+
+    # 2. Train flow
+    spec = train_cfg.flow
+    tns = argparse.Namespace(
+        L=train_cfg.L, beta=train_cfg.beta, n_era=train_cfg.n_era,
+        n_epoch=train_cfg.n_epoch, batch_size=train_cfg.batch_size,
+        lr=train_cfg.base_lr, seed=train_cfg.seed, outdir=args.outdir,
+        with_force=train_cfg.with_force, restore=False,
+        scheduler=sched is not None,
+        sched_factor=getattr(sched, "factor", 0.5),
+        sched_patience=getattr(sched, "patience", 10),
+        n_layers=spec.n_layers, n_mixture=spec.n_mixture,
+        hidden=list(spec.hidden_sizes), kernel=spec.kernel_size,
+        activation=spec.activation)
+    tr = cmd_train(tns)
+    state = tr["state"]
+
+    # 3. Flow-sampling eval
+    sns = argparse.Namespace(L=train_cfg.L, beta=train_cfg.beta,
+                             ensemble_size=args.ensemble_size,
+                             batch_size=train_cfg.batch_size, seed=1,
+                             ckpt=None)
+    ens = cmd_sample(sns, state=state, spec=spec)
+    results["sample"] = {k: ens[k] for k in
+                         ("accept_rate", "suscept_mean", "suscept_err")}
+
+    # 4. FT-HMC
+    fns = argparse.Namespace(L=train_cfg.L, beta=train_cfg.beta, tau=lf.tau,
+                             nstep=lf.nstep, ntraj=args.ntraj,
+                             chains=hmc_cfg.n_chains, seed=2, ckpt=None,
+                             outdir=None)
+    results["fthmc"] = cmd_fthmc(fns, state=state, spec=spec)
+
+    # 5. Volume transfer: SAME params at 2L (+ optional fine-tune)
+    L2 = 2 * train_cfg.L
+    logger.rule(f"volume transfer -> {L2}x{L2}")
+    if args.transfer_epochs > 0:
+        cfg2 = dataclasses.replace(train_cfg, L=L2, n_era=1,
+                                   n_epoch=args.transfer_epochs,
+                                   base_lr=train_cfg.base_lr / 10)
+        state = state._replace(step=state.step * 0)
+        tns2 = argparse.Namespace(**{**vars(tns), "L": L2, "n_era": 1,
+                                     "n_epoch": args.transfer_epochs,
+                                     "lr": cfg2.base_lr, "outdir": None})
+        # fine-tune continues from the transferred params
+        from fthmc_tpu.train import train as _train
+        state, _ = _train(cfg2, state)
+    fns2 = argparse.Namespace(**{**vars(fns), "L": L2})
+    results["fthmc_transfer"] = cmd_fthmc(fns2, state=state, spec=spec)
+
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        with open(os.path.join(args.outdir, "pipeline_results.json"),
+                  "w") as f:
+            json.dump(results, f, indent=2, default=float)
+    return results
+
+
+def cmd_bench(args) -> dict:
+    from fthmc_tpu.bench import run_benchmarks
+    return run_benchmarks(L=args.L, chains=args.chains, beta=args.beta,
+                          which=args.which)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fthmc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--beta", type=float, default=2.0)
+        sp.add_argument("--L", type=int, default=8)
+        sp.add_argument("--seed", type=int, default=1331)
+        sp.add_argument("--outdir", type=str, default=None)
+
+    def flow_args(sp):
+        sp.add_argument("--n-layers", type=int, default=24)
+        sp.add_argument("--n-mixture", type=int, default=2)
+        sp.add_argument("--hidden", type=int, nargs="+", default=[8, 8])
+        sp.add_argument("--kernel", type=int, default=3)
+        sp.add_argument("--activation", type=str, default="silu")
+
+    sp = sub.add_parser("hmc")
+    common(sp)
+    sp.add_argument("--tau", type=float, default=2.0)
+    sp.add_argument("--nstep", type=int, default=10)
+    sp.add_argument("--ntraj", type=int, default=256)
+    sp.add_argument("--chains", type=int, default=16)
+    sp.set_defaults(fn=cmd_hmc)
+
+    sp = sub.add_parser("train")
+    common(sp)
+    flow_args(sp)
+    sp.add_argument("--n-era", type=int, default=10)
+    sp.add_argument("--n-epoch", type=int, default=100)
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--with-force", action="store_true")
+    sp.add_argument("--restore", action="store_true")
+    sp.add_argument("--scheduler", action="store_true")
+    sp.add_argument("--sched-factor", type=float, default=0.5)
+    sp.add_argument("--sched-patience", type=int, default=10)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("sample")
+    common(sp)
+    flow_args(sp)
+    sp.add_argument("--ckpt", type=str, default=None)
+    sp.add_argument("--ensemble-size", type=int, default=8192)
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("fthmc")
+    common(sp)
+    flow_args(sp)
+    sp.add_argument("--ckpt", type=str, default=None)
+    sp.add_argument("--tau", type=float, default=1.0)
+    sp.add_argument("--nstep", type=int, default=64)
+    sp.add_argument("--ntraj", type=int, default=1024)
+    sp.add_argument("--chains", type=int, default=16)
+    sp.set_defaults(fn=cmd_fthmc)
+
+    sp = sub.add_parser("pipeline")
+    common(sp)
+    flow_args(sp)
+    sp.add_argument("--json-file", type=str, default=None)
+    sp.add_argument("--tau", type=float, default=1.0)
+    sp.add_argument("--nstep", type=int, default=64)
+    sp.add_argument("--ntraj", type=int, default=256)
+    sp.add_argument("--chains", type=int, default=16)
+    sp.add_argument("--n-era", type=int, default=10)
+    sp.add_argument("--n-epoch", type=int, default=100)
+    sp.add_argument("--ensemble-size", type=int, default=8192)
+    sp.add_argument("--transfer-epochs", type=int, default=100)
+    sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("bench")
+    common(sp)
+    sp.add_argument("--chains", type=int, default=1024)
+    sp.add_argument("--which", type=str, default="hmc",
+                    choices=["hmc", "fthmc", "train", "all"])
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

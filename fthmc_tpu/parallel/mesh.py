@@ -73,7 +73,10 @@ def sharded_hmc_step(mesh: Mesh, *, beta: float, dt: float, nstep: int,
              in_shardings=(None, xsh, qsh),
              out_shardings=(xsh, qsh, NamedSharding(mesh, P(axis))))
     def step(key, x, q_old):
-        return hmc_step(key, x, q_old, beta, dt, nstep)
+        # explicit XLA integrator: the Pallas kernels are per-chip programs;
+        # under a sharded jit the partitioner owns the layout (shard_map'd
+        # Pallas is the multi-chip upgrade path)
+        return hmc_step(key, x, q_old, beta, dt, nstep, backend="xla")
 
     return step
 

@@ -1,0 +1,81 @@
+"""HMC kernel tests: reversibility, exactness, physics windows."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fthmc_tpu import lattice
+from fthmc_tpu.config import HMCConfig
+from fthmc_tpu.hmc import hmc_step, leapfrog, run_hmc
+
+
+def test_leapfrog_reversibility():
+    """Integrate forward, flip momentum, integrate back -> recover start
+    (reference validation pattern, ipynb/ft_hmc.py:116-141)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 2, 8, 8), jnp.float32, -3.0, 3.0)
+    v = jax.random.normal(jax.random.PRNGKey(1), x.shape, x.dtype)
+    force_fn = lambda y: lattice.batch_force(y, 2.0)
+    x1, v1 = leapfrog(x, v, 0.1, 12, force_fn)
+    x2, v2 = leapfrog(x1, -v1, 0.1, 12, force_fn)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(-v), atol=2e-4)
+
+
+def test_leapfrog_energy_scaling():
+    """|dH| ~ O(dt^2): halving dt should cut the energy error ~4x."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 2, 8, 8), jnp.float32, -3.0, 3.0)
+    v = jax.random.normal(jax.random.PRNGKey(1), x.shape, x.dtype)
+    beta = 2.0
+    force_fn = lambda y: lattice.batch_force(y, beta)
+
+    def dh(nstep):
+        dt = 1.0 / nstep
+        x1, v1 = leapfrog(x, v, dt, nstep, force_fn)
+        ds = jax.vmap(lambda a, b: lattice.delta_action(a, b, beta))(x1, x)
+        dk = 0.5 * jnp.sum((v1 * v1 - v * v).reshape(4, -1), axis=-1)
+        return np.abs(np.asarray(ds + dk)).mean()
+
+    e1, e2 = dh(8), dh(16)
+    assert e2 < e1 / 2.5
+
+
+def test_hmc_step_shapes_and_determinism():
+    key = jax.random.PRNGKey(5)
+    x = jnp.zeros((8, 2, 8, 8), jnp.float32)
+    q = lattice.batch_charges(x)
+    x1, q1, m = hmc_step(key, x, q, 2.0, 0.2, 10)
+    x2, q2, m2 = hmc_step(key, x, q, 2.0, 0.2, 10)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert m.dh.shape == (8,)
+    assert set(np.unique(np.asarray(m.acc))) <= {0.0, 1.0}
+
+
+def test_run_hmc_physics():
+    """Statistical window test at 8x8 beta=2: <plaq> near the exact Bessel
+    ratio, <exp(-dH)> near 1, acceptance in a sane band."""
+    cfg = HMCConfig(beta=2.0, L=8, tau=2.0, nstep=10, ntraj=400,
+                    n_chains=32, randinit=True, seed=7)
+    x, hist = run_hmc(cfg)
+    plaq = np.asarray(hist.plaq)[200:]
+    emdh = np.asarray(hist.exp_mdh)[200:]
+    acc = np.asarray(hist.acc)
+    assert abs(plaq.mean() - lattice.PLAQ_EXACT[2.0]) < 0.01
+    assert abs(emdh.mean() - 1.0) < 0.05
+    assert 0.5 < acc.mean() <= 1.0
+
+
+def test_run_hmc_rejection_keeps_state():
+    """With an absurd step size everything rejects and the state is frozen."""
+    cfg = HMCConfig(beta=2.0, L=8, tau=80.0, nstep=2, ntraj=4,
+                    n_chains=4, randinit=True, seed=3)
+    x0 = lattice.hot_start(jax.random.PRNGKey(1), 4, 8)
+    x, hist = run_hmc(cfg, x0=x0)
+    assert np.asarray(hist.acc).mean() < 0.3
+    # rejected chains stay exactly at their previous state: q constant there
+    q = np.asarray(hist.q)
+    acc = np.asarray(hist.acc)
+    q_prev = np.concatenate(
+        [np.asarray(lattice.batch_charges(x0))[None], q[:-1]])
+    frozen = acc == 0.0
+    np.testing.assert_allclose(q[frozen], q_prev[frozen], atol=1e-4)

@@ -1,0 +1,84 @@
+"""Unit tests for L0 lattice ops (SURVEY.md section 4 test plan)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fthmc_tpu import lattice
+
+PI = math.pi
+
+
+def test_plaq_phase_hand_computed_2x2():
+    # 2x2 lattice, hand-set links
+    x = np.zeros((2, 2, 2), np.float32)
+    x[0, 0, 0] = 0.3   # theta_0(0,0)
+    x[1, 1, 0] = 0.5   # theta_1(1,0)
+    x[0, 0, 1] = -0.2  # theta_0(0,1)
+    x[1, 0, 0] = 0.1   # theta_1(0,0)
+    p = np.asarray(lattice.plaq_phase(jnp.asarray(x)))
+    # P(0,0) = t0(0,0) + t1(1,0) - t0(0,1) - t1(0,0)
+    assert np.isclose(p[0, 0], 0.3 + 0.5 - (-0.2) - 0.1, atol=1e-6)
+    # P is sum over each plaquette of its 4 links with signs; on a 2-torus
+    # every link appears in exactly 2 plaquettes with opposite signs:
+    assert np.isclose(p.sum(), 0.0, atol=1e-6)
+
+
+def test_action_matches_definition(x_batch):
+    beta = 2.0
+    s = lattice.batch_action(x_batch, beta)
+    expect = -beta * jnp.sum(jnp.cos(lattice.batch_plaqs(x_batch)),
+                             axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(expect), rtol=1e-6)
+
+
+def test_analytic_force_matches_autograd(x_batch):
+    beta = 2.7
+    f = lattice.batch_force(x_batch, beta)
+    g = jax.vmap(lambda y: lattice.grad_force(y, beta))(x_batch)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(g),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_delta_action_consistency(x_batch):
+    beta = 2.0
+    x0 = x_batch
+    x1 = x_batch + 0.01 * jnp.ones_like(x_batch)
+    d = jax.vmap(lambda a, b: lattice.delta_action(a, b, beta))(x1, x0)
+    full = lattice.batch_action(x1, beta) - lattice.batch_action(x0, beta)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(full),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_topo_charge_integer(x_batch):
+    q = np.asarray(lattice.batch_charges(x_batch))
+    np.testing.assert_allclose(q, np.round(q), atol=1e-4)
+
+
+def test_gauge_invariance_of_plaq_and_charge(x_batch):
+    key = jax.random.PRNGKey(11)
+    xg = lattice.random_gauge_transform(key, x_batch)
+    p0 = np.asarray(lattice.batch_plaq_mean(x_batch))
+    p1 = np.asarray(lattice.batch_plaq_mean(xg))
+    np.testing.assert_allclose(p0, p1, atol=1e-5)
+    q0 = np.asarray(lattice.batch_charges(x_batch))
+    q1 = np.asarray(lattice.batch_charges(xg))
+    np.testing.assert_allclose(q0, q1, atol=1e-3)
+
+
+def test_wrap_range():
+    x = jnp.asarray([-7.0, -PI, -1.0, 0.0, 1.0, PI, 7.0, 100.0])
+    w = np.asarray(lattice.wrap(x))
+    assert np.all(w > -PI - 1e-6) and np.all(w <= PI + 1e-6)
+    # wrap preserves the angle mod 2pi
+    np.testing.assert_allclose(np.cos(w), np.cos(np.asarray(x)), atol=1e-5)
+
+
+@pytest.mark.parametrize("beta", [1.0, 2.0])
+def test_plaq_exact_table_sanity(beta):
+    # the stored exact values are I1(beta)/I0(beta)
+    from scipy import special  # scipy is available in the image
+    expect = special.iv(1, beta) / special.iv(0, beta)
+    assert abs(lattice.PLAQ_EXACT[beta] - expect) < 1e-6
