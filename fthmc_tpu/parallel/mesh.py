@@ -30,7 +30,22 @@ from fthmc_tpu.hmc import fthmc_step, hmc_step
 from fthmc_tpu.train import TrainState, train_step
 
 __all__ = ["make_chain_mesh", "shard_chains", "replicate",
-            "sharded_hmc_step", "sharded_fthmc_step", "sharded_train_step"]
+           "sharded_hmc_step", "sharded_fthmc_step", "sharded_train_step",
+           "initialize_multihost"]
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None):
+    """Initialize jax.distributed for multi-host meshes (DCN-spanning).
+
+    On single-host (the common case, and all the reference ever supported)
+    this is unnecessary - jax.devices() already sees the full slice. Args
+    default to the cluster-env auto-detection of jax.distributed.initialize.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def make_chain_mesh(n_devices: int | None = None,

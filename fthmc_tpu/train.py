@@ -18,6 +18,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from fthmc_tpu import lattice
@@ -28,7 +29,7 @@ from fthmc_tpu.models.priors import uniform_link_prior
 from fthmc_tpu.observables import calc_dkl, calc_ess
 
 __all__ = ["TrainState", "init_train_state", "reverse_kl_loss", "train_step",
-           "force_matching_step", "train", "make_optimizer",
+           "force_matching_step", "train", "train_era", "make_optimizer",
            "plateau_scheduler_update"]
 
 
@@ -93,11 +94,9 @@ def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
     return dkl_factor * dkl, aux
 
 
-@partial(jax.jit, static_argnames=("spec", "batch", "L", "beta", "dkl_factor",
-                                   "base_lr"))
-def train_step(state: TrainState, spec: FlowSpec, batch: int, L: int,
-               beta: float, dkl_factor: float, base_lr: float):
-    """One jitted reverse-KL training step -> (new_state, metrics dict).
+def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
+                     beta: float, dkl_factor: float, base_lr: float):
+    """One reverse-KL training step -> (new_state, metrics dict).
 
     Metrics mirror the reference (train.py:217-226): ess, logp, logq,
     loss_dkl, q, dq (|Q(x) - Q(z)|), plaq.
@@ -136,10 +135,13 @@ def train_step(state: TrainState, spec: FlowSpec, batch: int, L: int,
     return new_state, metrics
 
 
-@partial(jax.jit, static_argnames=("spec", "batch", "L", "beta", "base_lr",
-                                   "lr_factor"))
-def force_matching_step(state: TrainState, spec: FlowSpec, batch: int, L: int,
-                        beta: float, base_lr: float, lr_factor: float):
+train_step = partial(jax.jit, static_argnames=(
+    "spec", "batch", "L", "beta", "dkl_factor", "base_lr"))(
+    _train_step_impl)
+
+
+def _force_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
+                     beta: float, base_lr: float, lr_factor: float):
     """Force-matching objective: loss = sum ||F_eff||^2 over a prior batch,
     optimized at base_lr * lr_factor (prototype ipynb/ft_hmc.py:253-299:
     `with_force` branch; grad-of-grad == create_graph=True there).
@@ -171,6 +173,61 @@ def force_matching_step(state: TrainState, spec: FlowSpec, batch: int, L: int,
     return new_state, {"loss_force": loss}
 
 
+force_matching_step = partial(jax.jit, static_argnames=(
+    "spec", "batch", "L", "beta", "base_lr", "lr_factor"))(
+    _force_step_impl)
+
+
+def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
+                           base_lr: float) -> TrainState:
+    """Branchless device-side reduce-on-plateau (same rule as
+    plateau_scheduler_update, usable inside jit/scan)."""
+    best = state.best_loss
+    improved = loss < best - sched.threshold * jnp.abs(best)
+    count = jnp.where(improved, 0, state.plateau_count + 1)
+    fire = count > sched.patience
+    scale = jnp.where(
+        fire,
+        jnp.maximum(state.lr_scale * sched.factor, sched.min_lr / base_lr),
+        state.lr_scale)
+    return state._replace(
+        best_loss=jnp.where(improved, loss, best),
+        plateau_count=jnp.where(fire, 0, count).astype(jnp.int32),
+        lr_scale=scale)
+
+
+@partial(jax.jit, static_argnames=("spec", "batch", "L", "beta",
+                                   "dkl_factor", "base_lr", "n_epoch",
+                                   "sched", "with_force", "force_lr_factor"))
+def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
+              beta: float, dkl_factor: float, base_lr: float, n_epoch: int,
+              sched: SchedulerConfig | None = None,
+              with_force: bool = False, force_lr_factor: float = 0.01):
+    """One ERA (n_epoch steps) as a single compiled lax.scan program.
+
+    Removes per-step host dispatch entirely (the reference pays a Python
+    round-trip per epoch, train.py:352-398). Returns (state, stacked scalar
+    metrics with leading axis n_epoch).
+    """
+    def body(state, _):
+        state, metrics = _train_step_impl(state, spec, batch, L, beta,
+                                          dkl_factor, base_lr)
+        if with_force:
+            state, fmetrics = _force_step_impl(state, spec, batch, L, beta,
+                                               base_lr, force_lr_factor)
+            metrics = {**metrics, **fmetrics}
+        if sched is not None:
+            state = _plateau_update_device(state, metrics["loss_dkl"],
+                                           sched, base_lr)
+        # keep only scalar metrics in the scanned history
+        scalars = {k: v for k, v in metrics.items() if jnp.ndim(v) == 0}
+        scalars["dq_mean"] = jnp.mean(metrics["dq"])
+        scalars["lr_scale"] = state.lr_scale
+        return state, scalars
+
+    return jax.lax.scan(body, state, None, length=n_epoch)
+
+
 def plateau_scheduler_update(state: TrainState, loss: float,
                              sched: SchedulerConfig,
                              base_lr: float) -> TrainState:
@@ -199,8 +256,11 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
           callback=None, checkpoint_fn=None):
     """Era x epoch training driver (reference train, train.py:236-431).
 
-    callback(step, metrics_host) per epoch; checkpoint_fn(era, state, history)
-    per era. Returns (state, history dict of lists).
+    Each era runs as ONE compiled scan (train_era) - the host only sees one
+    dispatch per era, so throughput is pure device speed. callback(step,
+    metrics_host) per epoch (replayed from the era's stacked metrics);
+    checkpoint_fn(era, state, history) per era. Returns (state, history
+    dict of per-epoch scalar lists).
     """
     if state is None:
         state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
@@ -209,24 +269,20 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
 
     for era in range(cfg.n_era):
         t0 = time.time()
-        for epoch in range(cfg.n_epoch):
-            state, metrics = train_step(
-                state, spec, cfg.batch_size, cfg.L, cfg.beta,
-                cfg.dkl_factor, cfg.base_lr)
-            if cfg.with_force:
-                state, fmetrics = force_matching_step(
-                    state, spec, cfg.batch_size, cfg.L, cfg.beta,
-                    cfg.base_lr, cfg.force_lr_factor)
-                metrics = {**metrics, **fmetrics}
-            host = {k: jax.device_get(v) for k, v in metrics.items()}
-            host["dt"] = time.time() - t0
+        state, stacked = train_era(
+            state, spec, cfg.batch_size, cfg.L, cfg.beta, cfg.dkl_factor,
+            cfg.base_lr, cfg.n_epoch, sched=scheduler,
+            with_force=cfg.with_force,
+            force_lr_factor=cfg.force_lr_factor)
+        host = {k: np.asarray(v) for k, v in stacked.items()}
+        dt = time.time() - t0
+        for e in range(cfg.n_epoch):
             for k, v in host.items():
-                history.setdefault(k, []).append(v)
-            if scheduler is not None:
-                state = plateau_scheduler_update(
-                    state, float(host["loss_dkl"]), scheduler, cfg.base_lr)
+                history.setdefault(k, []).append(v[e])
+            history.setdefault("dt", []).append(dt / cfg.n_epoch)
             if callback is not None:
-                callback(int(state.step), host)
+                step = int(state.step) - cfg.n_epoch + e + 1
+                callback(step, {k: v[e] for k, v in host.items()})
         if checkpoint_fn is not None:
             checkpoint_fn(era, state, history)
     return state, history
