@@ -59,6 +59,7 @@ def save_checkpoint(outdir: str, state, *, era: int, epoch: int,
 def load_checkpoint(path: str, target):
     """Restore a checkpoint into the structure of `target` (a template
     TrainState with correctly-shaped arrays). Returns (state, meta)."""
+    path = os.path.abspath(path)  # orbax requires absolute paths
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         tree = ckptr.restore(path, item=_to_host(target))

@@ -114,7 +114,8 @@ def cmd_train(args) -> dict:
         if step % cfg.print_freq == 0:
             logger.print_metrics(
                 {k: metrics[k] for k in
-                 ("loss_dkl", "ess", "plaq", "dq") if k in metrics},
+                 ("loss_dkl", "ess", "plaq", "dq", "dq_mean", "lr_scale")
+                 if k in metrics},
                 pre=[f"step={step}"])
 
     def ckpt(era, st, history):

@@ -50,9 +50,13 @@ def format_metrics(metrics: dict[str, Any], window: int = 0,
 class Logger:
     """Minimal structured console logger."""
 
-    def __init__(self, stream: IO = sys.stdout):
-        self.stream = stream
+    def __init__(self, stream: IO | None = None):
+        self._stream = stream  # None -> current sys.stdout at call time
         self.t0 = time.time()
+
+    @property
+    def stream(self) -> IO:
+        return self._stream if self._stream is not None else sys.stdout
 
     def log(self, msg: str):
         dt = time.time() - self.t0
