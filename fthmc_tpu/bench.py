@@ -76,9 +76,9 @@ def bench_hmc_leapfrog(L: int = 64, chains: int = 1024, beta: float = 6.0,
     }
 
 
-def bench_fthmc_leapfrog(L: int = 8, chains: int = 64, beta: float = 2.0,
+def bench_fthmc_leapfrog(L: int = 8, chains: int = 1024, beta: float = 2.0,
                          n_layers: int = 16, nstep: int = 64,
-                         ntraj: int = 4, repeats: int = 2) -> dict:
+                         ntraj: int = 4, repeats: int = 3) -> dict:
     """FT-HMC leapfrog chain-steps/sec (force = VJP through the flow)."""
     spec = FlowSpec(n_layers=n_layers, n_mixture=2, hidden_sizes=(8, 8))
     params = init_flow_params(jax.random.PRNGKey(0), spec)
@@ -104,17 +104,19 @@ def bench_fthmc_leapfrog(L: int = 8, chains: int = 64, beta: float = 2.0,
 
 
 def bench_train(L: int = 8, batch: int = 64, beta: float = 2.0,
-                n_layers: int = 16, steps: int = 20) -> dict:
-    """Reverse-KL training steps/sec (reference: ~0.52 s/step on a Colab
-    GPU: 520 s for 1000 epochs, BASELINE.md)."""
+                n_layers: int = 16, steps: int = 100) -> dict:
+    """Reverse-KL training steps/sec via the era-scan path (reference:
+    ~0.52 s/step on a Colab GPU: 520 s for 1000 epochs, BASELINE.md)."""
+    from fthmc_tpu.train import train_era
     spec = FlowSpec(n_layers=n_layers, n_mixture=2, hidden_sizes=(8, 8))
     cfg = TrainConfig(L=L, beta=beta, batch_size=batch, flow=spec, seed=0)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
-    state, _ = train_step(state, spec, batch, L, beta, 1.0, cfg.base_lr)
+    state, _ = train_era(state, spec, batch, L, beta, 1.0, cfg.base_lr,
+                         steps)
     _sync(state.params[0][0]["w"])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, _ = train_step(state, spec, batch, L, beta, 1.0, cfg.base_lr)
+    state, _ = train_era(state, spec, batch, L, beta, 1.0, cfg.base_lr,
+                         steps)
     _sync(state.params[0][0]["w"])
     dt = time.perf_counter() - t0
     sps = steps / dt

@@ -252,11 +252,8 @@ def cmd_pipeline(args) -> dict:
         cfg2 = dataclasses.replace(train_cfg, L=L2, n_era=1,
                                    n_epoch=args.transfer_epochs,
                                    base_lr=train_cfg.base_lr / 10)
-        state = state._replace(step=state.step * 0)
-        tns2 = argparse.Namespace(**{**vars(tns), "L": L2, "n_era": 1,
-                                     "n_epoch": args.transfer_epochs,
-                                     "lr": cfg2.base_lr, "outdir": None})
-        # fine-tune continues from the transferred params
+        # fine-tune continues from the transferred params (same pytree -
+        # masks rebuild from the new lattice shape at trace time)
         from fthmc_tpu.train import train as _train
         state, _ = _train(cfg2, state)
     fns2 = argparse.Namespace(**{**vars(fns), "L": L2})

@@ -185,16 +185,27 @@ def run_hmc(cfg: HMCConfig, x0: jnp.ndarray | None = None,
 # Flowed HMC (the flagship capability)
 # ---------------------------------------------------------------------------
 
+def resolve_remat(remat, shape) -> bool:
+    """'auto' -> rematerialize per coupling layer only when the activation
+    footprint would be large (B * L^2 above ~1M sites); at small sizes
+    storing activations is ~25% faster (measured on v5e)."""
+    if remat == "auto":
+        B, _, L, _ = shape
+        return B * L * L > (1 << 20)
+    return bool(remat)
+
+
 def ft_action(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
-              remat: bool = True) -> jnp.ndarray:
+              remat="auto") -> jnp.ndarray:
     """Effective action in latent space: S_eff(z) = S(f(z)) - log|det df/dz|,
     per chain (B,). (reference ft_hmc.py:135-141, qed_helpers.py:212-223)"""
-    y, logdet = flow_forward(params, z, spec, remat=remat)
+    y, logdet = flow_forward(params, z, spec,
+                             remat=resolve_remat(remat, z.shape))
     return lattice.batch_action(y, beta) - logdet
 
 
 def ft_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
-             remat: bool = True) -> jnp.ndarray:
+             remat="auto") -> jnp.ndarray:
     """dS_eff/dz via autodiff through the whole flow (VJP; reference
     ft_hmc.py:162-171 / qed_helpers.py:226-242)."""
     return jax.grad(
@@ -204,13 +215,14 @@ def ft_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
 
 def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
                q_old: jnp.ndarray, beta: float, dt: float, nstep: int,
-               remat: bool = True):
+               remat="auto"):
     """One batched FT-HMC trajectory in latent space z: (B, 2, L, L).
 
     Returns (z', y_phys', q', metrics). The chain state stays latent
     throughout the run (reference FieldTransformation.run, ft_hmc.py:272-346);
     observables are measured on the physical field y = f(z).
     """
+    remat = resolve_remat(remat, z.shape)
     kv, ka = jax.random.split(key)
     v0 = jax.random.normal(kv, z.shape, z.dtype)
 
@@ -246,6 +258,7 @@ def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
 @partial(jax.jit, static_argnames=("spec", "beta", "dt", "nstep", "ntraj",
                                    "remat"))
 def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat):
+    remat = resolve_remat(remat, z0.shape)
     y0, _ = flow_forward(params, z0, spec, remat=remat)
     q0 = lattice.batch_charges(y0)
 
@@ -262,7 +275,7 @@ def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat):
 
 def run_fthmc(params, spec: FlowSpec, lf: LeapfrogConfig, *, beta: float,
               ntraj: int, z0: jnp.ndarray, key: jax.Array,
-              remat: bool = True):
+              remat="auto"):
     """Run ntraj batched FT-HMC trajectories as one compiled program.
     Returns (z_final, TrajMetrics history (ntraj, B))."""
     return _run_fthmc_scan(params, spec, key, z0, beta, lf.dt, lf.nstep,
