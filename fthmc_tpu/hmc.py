@@ -93,10 +93,11 @@ def _select_leapfrog(backend: str, x_shape, dtype) -> str:
     B, _, L, _ = x_shape
     if jax.default_backend() == "cpu" or dtype != jnp.float32:
         return "xla"
-    # NOTE: 'pallas_cl' stays opt-in for now: at small L it compiles
-    # pathologically slowly and produced a biased dH in physics validation
-    # (exp(-dH) != 1 at L=8); the chains-first kernel is validated against
-    # XLA across L and block sizes.
+    # chains-last: bitwise-equal to XLA, +~20% (rolls never touch the lane
+    # axis), but its (2, L, L, 128) block must fit VMEM and Mosaic compiles
+    # it pathologically slowly below L=16, so gate to 16 <= L <= 40.
+    if B % 128 == 0 and 16 <= L <= 40:
+        return "pallas_cl"
     if B % 8 == 0:
         return "pallas"
     return "xla"

@@ -160,7 +160,7 @@ def _force_of_cl(x, beta):
     sp = jnp.sin(p)
     f0 = sp - _roll(sp, 1, 1)
     f1 = _roll(sp, 1, 0) - sp
-    return jnp.stack((f0, f1), axis=0)
+    return beta * jnp.stack((f0, f1), axis=0)
 
 
 def _leapfrog_cl_kernel(x_ref, v_ref, xo_ref, vo_ref, *, beta, dt, nstep):

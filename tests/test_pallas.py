@@ -17,6 +17,19 @@ def test_pallas_force_matches_xla():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_leapfrog_cl_matches_xla():
+    from fthmc_tpu.ops.pallas_lattice import pallas_leapfrog_cl
+    key = jax.random.PRNGKey(5)
+    x = jax.random.uniform(key, (128, 2, 8, 8), jnp.float32, -3.0, 3.0)
+    v = jax.random.normal(jax.random.PRNGKey(6), x.shape, x.dtype)
+    x1p, v1p = pallas_leapfrog_cl(x, v, beta=2.0, dt=0.1, nstep=6,
+                                  block=128, interpret=True)
+    x1x, v1x = leapfrog(x, v, 0.1, 6,
+                        lambda y: lattice.batch_force(y, 2.0))
+    np.testing.assert_allclose(np.asarray(x1p), np.asarray(x1x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1p), np.asarray(v1x), atol=1e-4)
+
+
 def test_pallas_leapfrog_matches_xla():
     key = jax.random.PRNGKey(1)
     x = jax.random.uniform(key, (4, 2, 8, 8), jnp.float32, -3.0, 3.0)
