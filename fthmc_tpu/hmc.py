@@ -98,7 +98,10 @@ def _select_leapfrog(backend: str, x_shape, dtype) -> str:
     # it pathologically slowly below L=16, so gate to 16 <= L <= 40.
     if B % 128 == 0 and 16 <= L <= 40:
         return "pallas_cl"
-    if B % 8 == 0:
+    # chains-first: +12% at L=64; at smaller L its lane dim (= L) is padded
+    # and it measures SLOWER than XLA (L=32) with very slow Mosaic compiles
+    # (L<=16), so require a full lane.
+    if B % 8 == 0 and L >= 48:
         return "pallas"
     return "xla"
 
