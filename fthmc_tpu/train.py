@@ -140,19 +140,37 @@ train_step = partial(jax.jit, static_argnames=(
     _train_step_impl)
 
 
+def distill_latents(params, pre_params, spec: FlowSpec, key: jax.Array,
+                    batch: int, L: int):
+    """Reference-exact distillation latents for force matching
+    (prototype ipynb/ft_hmc.py:258-263): sample the frozen pre-model's
+    prior, push forward through the pre-model, and invert through the
+    CURRENT flow (bisection; gradients stopped, matching the reference's
+    .detach()'d ft_flow_inv)."""
+    prior = uniform_link_prior(L)
+    z_pre = prior.sample_n(key, batch)
+    x, _ = flow_forward(pre_params, z_pre, spec)
+    xi, _ = flow_reverse(params, x, spec)
+    return jax.lax.stop_gradient(xi)
+
+
 def _force_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
-                     beta: float, base_lr: float, lr_factor: float):
-    """Force-matching objective: loss = sum ||F_eff||^2 over a prior batch,
+                     beta: float, base_lr: float, lr_factor: float,
+                     pre_params=None):
+    """Force-matching objective: loss = sum ||F_eff||^2 over a latent batch,
     optimized at base_lr * lr_factor (prototype ipynb/ft_hmc.py:253-299:
     `with_force` branch; grad-of-grad == create_graph=True there).
 
-    The reference distills through a frozen pre_model; here the latent batch
-    is drawn from the prior directly (equivalent sampling of the z-space
-    measure for the ||F||^2 objective, without the bisection inverse).
+    With `pre_params` the latent batch distills through a frozen pre-model
+    exactly as the reference does; otherwise it is drawn from the prior
+    directly (cheaper: no bisection inverse in the training loop).
     """
     key, kstep = jax.random.split(state.key)
-    prior = uniform_link_prior(L)
-    z = prior.sample_n(kstep, batch)
+    if pre_params is not None:
+        z = distill_latents(state.params, pre_params, spec, kstep, batch, L)
+    else:
+        prior = uniform_link_prior(L)
+        z = prior.sample_n(kstep, batch)
 
     def loss_fn(params):
         f = ft_force(params, spec, z, beta)
