@@ -49,6 +49,30 @@ def test_force_matching_step_runs(spec2):
     assert int(state.step) == 1
 
 
+def test_force_matching_with_distillation(spec2, params2, identity_params2):
+    """Reference-exact path: latents distilled through a frozen pre-model
+    and inverted through the current flow."""
+    import jax.numpy as jnp
+    from fthmc_tpu.train import distill_latents, force_matching_step
+    cfg = _cfg(spec2)
+    xi = distill_latents(identity_params2, params2, spec2,
+                         jax.random.PRNGKey(0), 2, cfg.L)
+    # current flow == identity => xi equals the pre-model's pushforward
+    from fthmc_tpu.models.flow import flow_forward
+    from fthmc_tpu.models.priors import uniform_link_prior
+    z_pre = uniform_link_prior(cfg.L).sample_n(jax.random.PRNGKey(0), 2)
+    x_expect, _ = flow_forward(params2, z_pre, spec2)
+    err = np.max(np.abs(np.asarray(
+        jnp.remainder(xi - x_expect + np.pi, 2 * np.pi) - np.pi)))
+    assert err < 1e-4
+
+    state = init_train_state(jax.random.PRNGKey(1), cfg)
+    state, metrics = force_matching_step(
+        state, spec2, 2, cfg.L, cfg.beta, cfg.base_lr, 0.01,
+        pre_params=params2)
+    assert np.isfinite(float(metrics["loss_force"]))
+
+
 def test_plateau_scheduler(spec2):
     cfg = _cfg(spec2)
     sched = SchedulerConfig(factor=0.5, patience=2, threshold=1e-4,
