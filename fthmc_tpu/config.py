@@ -34,8 +34,15 @@ class FlowSpec:
     hidden_sizes: tuple[int, ...] = (8, 8)
     kernel_size: int = 3
     activation: str = "silu"      # relu | silu | swish | leaky_relu | tanh
-    init: str = "reference"       # 'reference' = N(1,2) weights, -1 bias
-                                  # (layers.py:170-174); 'default' = lecun-ish
+    init: str = "reference"       # effective torch-default init (see
+                                  # ops/conv.init_conv_net docstring)
+    s_clip: float | None = None   # smooth cap on the NCP log-slope:
+                                  # s -> s_clip * tanh(s / s_clip). Bounds
+                                  # the transform slope in [e^-c, e^c], hence
+                                  # the FT-HMC force curvature - makes S_eff
+                                  # integrable for under-trained flows at
+                                  # larger beta/volume (no reference
+                                  # counterpart; off by default)
 
     def __post_init__(self):
         object.__setattr__(self, "hidden_sizes", tuple(self.hidden_sizes))

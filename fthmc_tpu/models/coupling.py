@@ -92,10 +92,19 @@ class CouplingOut(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _net_s_t(net_params, frozen, plaq, spec: FlowSpec):
-    """CNN on the frozen plaquettes -> (s, t). s: (B,M,L,L), t: (B,L,L)."""
+    """CNN on the frozen plaquettes -> (s, t). s: (B,M,L,L), t: (B,L,L).
+
+    With spec.s_clip, the log-slope is smoothly bounded: s -> c*tanh(s/c),
+    capping the transform derivative in [e^-c, e^c] (and so the effective
+    force curvature) while leaving small s unchanged.
+    """
     x2 = frozen * plaq
     out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation)
-    return out[:, :-1], out[:, -1]
+    s, t = out[:, :-1], out[:, -1]
+    if spec.s_clip is not None:
+        c = spec.s_clip
+        s = c * jnp.tanh(s / c)
+    return s, t
 
 
 def plaq_coupling_forward(
