@@ -19,7 +19,13 @@ __all__ = ["circular_conv2d", "conv_net_apply", "init_conv_net", "ACTIVATIONS"]
 
 
 def circular_conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Periodic 2D conv. x: (B, Cin, H, W), w: (Cout, Cin, k, k), b: (Cout,)."""
+    """Periodic 2D conv. x: (B, Cin, H, W), w: (Cout, Cin, k, k), b: (Cout,).
+
+    Implementation note: a roll+einsum (im2col) formulation looks faster in
+    isolated microbenchmarks but is ~40% SLOWER inside the fused FT-HMC
+    program (the 9-way stacked tensor defeats XLA's fusion); wrap-pad +
+    VALID conv is the measured winner end-to-end.
+    """
     k = w.shape[-1]
     p = k // 2
     xp = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="wrap")
