@@ -31,7 +31,8 @@ from fthmc_tpu.checkpoint import (find_and_load_checkpoint, save_checkpoint,
                                   save_history)
 from fthmc_tpu.config import (FlowSpec, HMCConfig, LeapfrogConfig,
                               SchedulerConfig, TrainConfig, load_json_configs)
-from fthmc_tpu.hmc import run_fthmc, run_hmc
+from fthmc_tpu.hmc import run_fthmc, run_fthmc_chunked, run_hmc
+from fthmc_tpu.utils.tboard import TBWriter
 from fthmc_tpu.models.flow import count_parameters
 from fthmc_tpu.observables import (acceptance_rate, tau_int,
                                    topo_susceptibility)
@@ -175,11 +176,26 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
                 f"tau={lf.tau} nstep={lf.nstep}")
     key = jax.random.PRNGKey(args.seed)
     z0 = lattice.hot_start(key, args.chains, args.L)
+    tb = TBWriter(os.path.join(args.outdir, "summaries")) if (
+        args.outdir and getattr(args, "tensorboard", False)) else None
+
+    def cb(done, block):
+        logger.print_metrics(
+            {"acc": np.asarray(block.acc).mean(),
+             "plaq": np.asarray(block.plaq)[-64:].mean()},
+            pre=[f"traj={done}"])
+        if tb is not None:
+            tb.write({k: np.asarray(getattr(block, k)).mean()
+                      for k in block._fields}, step=done, prefix="ftHMC")
+
     t0 = time.time()
-    z, hist = run_fthmc(state.params, spec, lf, beta=args.beta,
-                        ntraj=args.ntraj, z0=z0, key=key)
+    z, hist = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
+                                ntraj=args.ntraj, z0=z0, key=key,
+                                block=min(args.ntraj, 1024), callback=cb)
     jax.block_until_ready(z)
     dt = time.time() - t0
+    if tb is not None:
+        tb.close()
     stats = _summarize_hmc(hist)
     stats["s_per_traj"] = dt / args.ntraj
     logger.print_metrics(stats)
@@ -328,6 +344,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nstep", type=int, default=64)
     sp.add_argument("--ntraj", type=int, default=1024)
     sp.add_argument("--chains", type=int, default=16)
+    sp.add_argument("--tensorboard", action="store_true")
     sp.set_defaults(fn=cmd_fthmc)
 
     sp = sub.add_parser("pipeline")

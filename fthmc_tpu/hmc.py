@@ -24,6 +24,7 @@ qed_helpers.leapfrog.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 from typing import Callable, NamedTuple
@@ -38,8 +39,9 @@ from fthmc_tpu.models.flow import flow_forward
 PI = math.pi
 TWO_PI = 2.0 * math.pi
 
-__all__ = ["leapfrog", "hmc_step", "run_hmc", "ft_action", "ft_force",
-           "fthmc_step", "run_fthmc", "TrajMetrics"]
+__all__ = ["leapfrog", "hmc_step", "run_hmc", "run_hmc_chunked",
+           "ft_action", "ft_force", "fthmc_step", "run_fthmc",
+           "run_fthmc_chunked", "TrajMetrics"]
 
 
 class TrajMetrics(NamedTuple):
@@ -284,3 +286,58 @@ def run_fthmc(params, spec: FlowSpec, lf: LeapfrogConfig, *, beta: float,
     Returns (z_final, TrajMetrics history (ntraj, B))."""
     return _run_fthmc_scan(params, spec, key, z0, beta, lf.dt, lf.nstep,
                            ntraj, remat)
+
+
+def _concat_metrics(blocks: list[TrajMetrics]) -> TrajMetrics:
+    import numpy as _np
+    return TrajMetrics(*[
+        _np.concatenate([_np.asarray(getattr(b, f)) for b in blocks])
+        for f in TrajMetrics._fields])
+
+
+def run_hmc_chunked(cfg: HMCConfig, *, block: int = 1024,
+                    x0: jnp.ndarray | None = None,
+                    key: jax.Array | None = None, callback=None,
+                    backend: str = "auto"):
+    """Production driver: cfg.ntraj trajectories in compiled blocks of
+    `block`, with host metrics (and optional callback(i, metrics)) between
+    blocks. One compile (block size fixed), bounded device-run length, and
+    history returned as host numpy. Returns (x_final, TrajMetrics)."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    blocks = []
+    x = x0
+    done = 0
+    while done < cfg.ntraj:
+        n = min(block, cfg.ntraj - done)
+        key, krun = jax.random.split(key)
+        bcfg = cfg if n == cfg.ntraj else dataclasses.replace(cfg, ntraj=n)
+        x, hist = run_hmc(bcfg, x0=x, key=krun, backend=backend)
+        jax.block_until_ready(x)
+        blocks.append(hist)
+        done += n
+        if callback is not None:
+            callback(done, hist)
+    return x, _concat_metrics(blocks)
+
+
+def run_fthmc_chunked(params, spec: FlowSpec, lf: LeapfrogConfig, *,
+                      beta: float, ntraj: int, z0: jnp.ndarray,
+                      key: jax.Array, block: int = 1024, callback=None,
+                      remat="auto"):
+    """Chunked FT-HMC driver (see run_hmc_chunked). Returns
+    (z_final, TrajMetrics as host numpy arrays)."""
+    blocks = []
+    z = z0
+    done = 0
+    while done < ntraj:
+        n = min(block, ntraj - done)
+        key, krun = jax.random.split(key)
+        z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=n, z0=z,
+                            key=krun, remat=remat)
+        jax.block_until_ready(z)
+        blocks.append(hist)
+        done += n
+        if callback is not None:
+            callback(done, hist)
+    return z, _concat_metrics(blocks)

@@ -65,6 +65,18 @@ def test_run_hmc_physics():
     assert 0.5 < acc.mean() <= 1.0
 
 
+def test_run_hmc_chunked_matches_shapes():
+    from fthmc_tpu.hmc import run_hmc_chunked
+    cfg = HMCConfig(beta=2.0, L=8, tau=1.0, nstep=4, ntraj=10,
+                    n_chains=4, randinit=True, seed=5)
+    calls = []
+    x, hist = run_hmc_chunked(cfg, block=4,
+                              callback=lambda done, h: calls.append(done))
+    assert hist.plaq.shape == (10, 4)
+    assert calls == [4, 8, 10]
+    assert np.isfinite(np.asarray(hist.dh)).all()
+
+
 def test_run_hmc_rejection_keeps_state():
     """With an absurd step size everything rejects and the state is frozen."""
     cfg = HMCConfig(beta=2.0, L=8, tau=80.0, nstep=2, ntraj=4,
