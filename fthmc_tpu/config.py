@@ -36,6 +36,10 @@ class FlowSpec:
     activation: str = "silu"      # relu | silu | swish | leaky_relu | tanh
     init: str = "reference"       # effective torch-default init (see
                                   # ops/conv.init_conv_net docstring)
+    conv_dtype: str = "float32"   # 'bfloat16' runs the coupling CNNs in
+                                  # bf16 (MXU-native) with fp32 accumulation;
+                                  # transforms/log-Jacobians stay fp32.
+                                  # Validate <exp(-dH)>~1 before production.
     s_clip: float | None = None   # smooth cap on the NCP log-slope:
                                   # s -> s_clip * tanh(s / s_clip). Bounds
                                   # the transform slope in [e^-c, e^c], hence

@@ -99,7 +99,9 @@ def _net_s_t(net_params, frozen, plaq, spec: FlowSpec):
     force curvature) while leaving small s unchanged.
     """
     x2 = frozen * plaq
-    out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation)
+    compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
+    out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation,
+                         compute_dtype=compute_dtype)
     s, t = out[:, :-1], out[:, -1]
     if spec.s_clip is not None:
         c = spec.s_clip

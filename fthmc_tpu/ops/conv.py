@@ -18,13 +18,15 @@ from jax import lax
 __all__ = ["circular_conv2d", "conv_net_apply", "init_conv_net", "ACTIVATIONS"]
 
 
-def circular_conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def circular_conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                    accum_dtype=None) -> jnp.ndarray:
     """Periodic 2D conv. x: (B, Cin, H, W), w: (Cout, Cin, k, k), b: (Cout,).
 
-    Implementation note: a roll+einsum (im2col) formulation looks faster in
-    isolated microbenchmarks but is ~40% SLOWER inside the fused FT-HMC
-    program (the 9-way stacked tensor defeats XLA's fusion); wrap-pad +
-    VALID conv is the measured winner end-to-end.
+    accum_dtype sets the conv accumulation/output type (pass float32 when
+    feeding bf16 operands). Implementation note: a roll+einsum (im2col)
+    formulation looks faster in isolated microbenchmarks but is ~40% SLOWER
+    inside the fused FT-HMC program (the 9-way stacked tensor defeats XLA's
+    fusion); wrap-pad + VALID conv is the measured winner end-to-end.
     """
     k = w.shape[-1]
     p = k // 2
@@ -34,9 +36,9 @@ def circular_conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarr
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=accum_dtype or x.dtype,
     )
-    return y + b[None, :, None, None]
+    return y + b[None, :, None, None].astype(y.dtype)
 
 
 ACTIVATIONS = {
@@ -91,13 +93,28 @@ def init_conv_net(
     return params
 
 
-def conv_net_apply(params: list[dict], x: jnp.ndarray, activation: str) -> jnp.ndarray:
+def conv_net_apply(params: list[dict], x: jnp.ndarray, activation: str,
+                   compute_dtype=None) -> jnp.ndarray:
     """Apply the conv chain with `activation` between layers (none after the
-    last, matching reference use_final_tanh=False, layers.py:161-166)."""
+    last, matching reference use_final_tanh=False, layers.py:161-166).
+
+    With compute_dtype=bfloat16, inputs/weights are cast to bf16 per conv
+    (MXU-native) while the conv accumulates and returns fp32.
+    """
     act = ACTIVATIONS[activation]
+    out_dtype = x.dtype
     n = len(params)
     for i, p in enumerate(params):
-        x = circular_conv2d(x, p["w"], p["b"])
+        if compute_dtype is not None and compute_dtype != out_dtype:
+            # fully-bf16 conv (the MXU accumulates wide internally); cast
+            # back up afterwards - mixed-dtype operands would break the
+            # conv transpose (VJP) rule
+            x = circular_conv2d(x.astype(compute_dtype),
+                                p["w"].astype(compute_dtype),
+                                p["b"].astype(compute_dtype)
+                                ).astype(out_dtype)
+        else:
+            x = circular_conv2d(x, p["w"], p["b"])
         if i != n - 1:
             x = act(x)
     return x
