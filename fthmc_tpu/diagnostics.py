@@ -65,6 +65,21 @@ def summarize_step_info(info: StepInfo, drop_frac: float = 0.5) -> dict:
     }
 
 
+def flow_inverse_residual(params, spec, y: jnp.ndarray, tol: float = 1e-6,
+                          max_iter: int = 1000) -> float:
+    """Bisection-inverse quality check: max |wrap(f(f^-1(y)) - y)|.
+
+    The reference prints non-convergence warnings from inside the bisection
+    (layers.py:308-319), which is impossible under jit; instead this exposes
+    the measurable residual to assert on (tests / pre-run validation).
+    """
+    from fthmc_tpu.models.flow import flow_forward, flow_reverse
+    from fthmc_tpu.lattice import wrap
+    x, _ = flow_reverse(params, y, spec, tol=tol, max_iter=max_iter)
+    y2, _ = flow_forward(params, x, spec)
+    return float(jnp.max(jnp.abs(wrap(y2 - y))))
+
+
 def reversibility_error(x, v, dt: float, nstep: int, force_fn) -> float:
     """Integrate forward, flip momentum, integrate back; max |x - x0|.
     (validation pattern from hmc_2dU1.py:719-745)"""
