@@ -77,6 +77,10 @@ def cmd_hmc(args) -> dict:
         save_history({k: np.asarray(getattr(hist, k))
                       for k in hist._fields},
                      os.path.join(args.outdir, "hmc_history.npz"))
+        # final chain states for resume (reference saves fields_arr,
+        # hmc.py:172-173)
+        np.savez_compressed(os.path.join(args.outdir, "hmc_fields.npz"),
+                            x=np.asarray(x))
     return stats
 
 
@@ -204,6 +208,8 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
         save_history({k: np.asarray(getattr(hist, k))
                       for k in hist._fields},
                      os.path.join(args.outdir, "fthmc_history.npz"))
+        np.savez_compressed(os.path.join(args.outdir, "fthmc_fields.npz"),
+                            z=np.asarray(z))
     return stats
 
 
