@@ -39,7 +39,7 @@ from fthmc_tpu.models.flow import flow_forward
 PI = math.pi
 TWO_PI = 2.0 * math.pi
 
-__all__ = ["leapfrog", "hmc_step", "run_hmc", "run_hmc_chunked",
+__all__ = ["leapfrog", "omelyan", "hmc_step", "run_hmc", "run_hmc_chunked",
            "ft_action", "ft_force", "fthmc_step", "run_fthmc",
            "run_fthmc_chunked", "TrajMetrics"]
 
@@ -69,6 +69,38 @@ def leapfrog(x: jnp.ndarray, v: jnp.ndarray, dt: float, nstep: int,
 
     (x, v), _ = jax.lax.scan(body, (x, v), None, length=nstep)
     x = x - 0.5 * dt * v
+    return x, v
+
+
+# Omelyan-Mryglod-Folk 2nd-order minimum-norm coefficient (2MN):
+# lambda minimizing the norm of the leading error operator
+# (Omelyan et al., Comput. Phys. Commun. 151 (2003) 272).
+OMELYAN_LAMBDA = 0.1931833275037836
+
+
+def omelyan(x: jnp.ndarray, v: jnp.ndarray, dt: float, nstep: int,
+            force_fn: Callable[[jnp.ndarray], jnp.ndarray]):
+    """2nd-order minimum-norm (2MN) integrator: per step
+    kick(l*dt) drift(dt/2) kick((1-2l)*dt) drift(dt/2) kick(l*dt),
+    with adjacent l-kicks merged across steps. Two force evaluations per
+    step but ~an order of magnitude smaller dH at equal dt than leapfrog -
+    a net win in acceptance per force evaluation. No reference counterpart
+    (the reference only has leapfrog).
+    """
+    lam = OMELYAN_LAMBDA
+    v = v - (lam * dt) * force_fn(x)
+
+    def body(carry, i):
+        x, v = carry
+        x = x + (0.5 * dt) * v
+        v = v - ((1.0 - 2.0 * lam) * dt) * force_fn(x)
+        x = x + (0.5 * dt) * v
+        # merged boundary kick: 2*lam*dt inside the chain, lam*dt at the end
+        w = jnp.where(i == nstep - 1, lam * dt, 2.0 * lam * dt)
+        v = v - w * force_fn(x)
+        return (x, v), None
+
+    (x, v), _ = jax.lax.scan(body, (x, v), jnp.arange(nstep))
     return x, v
 
 
@@ -109,9 +141,13 @@ def _select_leapfrog(backend: str, x_shape, dtype) -> str:
 
 
 def run_leapfrog(x, v, beta: float, dt: float, nstep: int,
-                 backend: str = "auto"):
-    """Leapfrog with backend dispatch: 'xla' | 'pallas' | 'pallas_cl' |
-    'auto'."""
+                 backend: str = "auto", integrator: str = "leapfrog"):
+    """Integrator dispatch. backend: 'xla' | 'pallas' | 'pallas_cl' |
+    'auto'; integrator: 'leapfrog' | 'omelyan' (omelyan always runs the XLA
+    path - the Pallas kernels implement leapfrog)."""
+    force_fn = partial(lattice.batch_force, beta=beta)
+    if integrator == "omelyan":
+        return omelyan(x, v, dt, nstep, force_fn)
     backend = _select_leapfrog(backend, x.shape, x.dtype)
     if backend == "pallas_cl":
         from fthmc_tpu.ops.pallas_lattice import pallas_leapfrog_cl
@@ -119,12 +155,12 @@ def run_leapfrog(x, v, beta: float, dt: float, nstep: int,
     if backend == "pallas":
         from fthmc_tpu.ops.pallas_lattice import pallas_leapfrog
         return pallas_leapfrog(x, v, beta=beta, dt=dt, nstep=nstep)
-    force_fn = partial(lattice.batch_force, beta=beta)
     return leapfrog(x, v, dt, nstep, force_fn)
 
 
 def hmc_step(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
-             beta: float, dt: float, nstep: int, backend: str = "auto"):
+             beta: float, dt: float, nstep: int, backend: str = "auto",
+             integrator: str = "leapfrog"):
     """One batched HMC trajectory. x: (B, 2, L, L). Returns (x', q', metrics).
 
     (reference qed_helpers.py:298-311, batched accept as in ft_hmc.py:246-249)
@@ -132,7 +168,7 @@ def hmc_step(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
     kv, ka = jax.random.split(key)
     v0 = jax.random.normal(kv, x.shape, x.dtype)
 
-    x1, v1 = run_leapfrog(x, v0, beta, dt, nstep, backend)
+    x1, v1 = run_leapfrog(x, v0, beta, dt, nstep, backend, integrator)
     x1 = lattice.wrap(x1)
 
     ds = jax.vmap(partial(lattice.delta_action, beta=beta))(x1, x)
@@ -152,13 +188,14 @@ def hmc_step(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("beta", "dt", "nstep", "ntraj",
-                                   "backend"))
-def _run_hmc_scan(key, x0, beta, dt, nstep, ntraj, backend="auto"):
+                                   "backend", "integrator"))
+def _run_hmc_scan(key, x0, beta, dt, nstep, ntraj, backend="auto",
+                  integrator="leapfrog"):
     q0 = lattice.batch_charges(x0)
 
     def body(carry, key):
         x, q = carry
-        x, q, m = hmc_step(key, x, q, beta, dt, nstep, backend)
+        x, q, m = hmc_step(key, x, q, beta, dt, nstep, backend, integrator)
         return (x, q), m
 
     keys = jax.random.split(key, ntraj)
@@ -168,7 +205,7 @@ def _run_hmc_scan(key, x0, beta, dt, nstep, ntraj, backend="auto"):
 
 def run_hmc(cfg: HMCConfig, x0: jnp.ndarray | None = None,
             key: jax.Array | None = None, dtype=jnp.float32,
-            backend: str = "auto"):
+            backend: str = "auto", integrator: str = "leapfrog"):
     """Run cfg.ntraj batched trajectories as one compiled program.
 
     Returns (x_final, TrajMetrics history with arrays (ntraj, n_chains)).
@@ -184,7 +221,7 @@ def run_hmc(cfg: HMCConfig, x0: jnp.ndarray | None = None,
         else:
             x0 = jnp.zeros((cfg.n_chains, 2, cfg.L, cfg.L), dtype)
     return _run_hmc_scan(key, x0, cfg.beta, cfg.dt, cfg.nstep, cfg.ntraj,
-                         backend)
+                         backend, integrator)
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +258,7 @@ def ft_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
 
 def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
                q_old: jnp.ndarray, beta: float, dt: float, nstep: int,
-               remat="auto"):
+               remat="auto", integrator: str = "leapfrog"):
     """One batched FT-HMC trajectory in latent space z: (B, 2, L, L).
 
     Returns (z', y_phys', q', metrics). The chain state stays latent
@@ -234,7 +271,8 @@ def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
 
     y0, logdet0 = flow_forward(params, z, spec, remat=remat)
     force_fn = lambda zz: ft_force(params, spec, zz, beta, remat=remat)
-    z1, v1 = leapfrog(z, v0, dt, nstep, force_fn)
+    integ = omelyan if integrator == "omelyan" else leapfrog
+    z1, v1 = integ(z, v0, dt, nstep, force_fn)
     z1 = lattice.wrap(z1)
     y1, logdet1 = flow_forward(params, z1, spec, remat=remat)
 
@@ -281,11 +319,11 @@ def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat):
 
 def run_fthmc(params, spec: FlowSpec, lf: LeapfrogConfig, *, beta: float,
               ntraj: int, z0: jnp.ndarray, key: jax.Array,
-              remat="auto"):
+              remat="auto", integrator: str = "leapfrog"):
     """Run ntraj batched FT-HMC trajectories as one compiled program.
     Returns (z_final, TrajMetrics history (ntraj, B))."""
     return _run_fthmc_scan(params, spec, key, z0, beta, lf.dt, lf.nstep,
-                           ntraj, remat)
+                           ntraj, remat, integrator)
 
 
 def _concat_metrics(blocks: list[TrajMetrics]) -> TrajMetrics:
