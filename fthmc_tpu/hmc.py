@@ -300,8 +300,9 @@ def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("spec", "beta", "dt", "nstep", "ntraj",
-                                   "remat"))
-def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat):
+                                   "remat", "integrator"))
+def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat,
+                    integrator="leapfrog"):
     remat = resolve_remat(remat, z0.shape)
     y0, _ = flow_forward(params, z0, spec, remat=remat)
     q0 = lattice.batch_charges(y0)
@@ -309,7 +310,7 @@ def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat):
     def body(carry, key):
         z, q = carry
         z, _, q, m = fthmc_step(params, spec, key, z, q, beta, dt, nstep,
-                                remat=remat)
+                                remat=remat, integrator=integrator)
         return (z, q), m
 
     keys = jax.random.split(key, ntraj)
