@@ -65,7 +65,8 @@ def cmd_hmc(args) -> dict:
                     randinit=True)
     logger.rule(f"HMC {cfg.L}x{cfg.L} beta={cfg.beta}")
     t0 = time.time()
-    x, hist = run_hmc(cfg)
+    x, hist = run_hmc(cfg, integrator=getattr(args, "integrator",
+                                              "leapfrog"))
     jax.block_until_ready(x)
     dt = time.time() - t0
     stats = _summarize_hmc(hist)
@@ -195,7 +196,9 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
     t0 = time.time()
     z, hist = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
                                 ntraj=args.ntraj, z0=z0, key=key,
-                                block=min(args.ntraj, 1024), callback=cb)
+                                block=min(args.ntraj, 1024), callback=cb,
+                                integrator=getattr(args, "integrator",
+                                                   "leapfrog"))
     jax.block_until_ready(z)
     dt = time.time() - t0
     if tb is not None:
@@ -318,6 +321,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nstep", type=int, default=10)
     sp.add_argument("--ntraj", type=int, default=256)
     sp.add_argument("--chains", type=int, default=16)
+    sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
+                    default="leapfrog")
     sp.set_defaults(fn=cmd_hmc)
 
     sp = sub.add_parser("train")
@@ -351,6 +356,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ntraj", type=int, default=1024)
     sp.add_argument("--chains", type=int, default=16)
     sp.add_argument("--tensorboard", action="store_true")
+    sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
+                    default="leapfrog")
     sp.set_defaults(fn=cmd_fthmc)
 
     sp = sub.add_parser("pipeline")

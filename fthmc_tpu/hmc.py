@@ -363,7 +363,7 @@ def run_hmc_chunked(cfg: HMCConfig, *, block: int = 1024,
 def run_fthmc_chunked(params, spec: FlowSpec, lf: LeapfrogConfig, *,
                       beta: float, ntraj: int, z0: jnp.ndarray,
                       key: jax.Array, block: int = 1024, callback=None,
-                      remat="auto"):
+                      remat="auto", integrator: str = "leapfrog"):
     """Chunked FT-HMC driver (see run_hmc_chunked). Returns
     (z_final, TrajMetrics as host numpy arrays)."""
     blocks = []
@@ -373,7 +373,7 @@ def run_fthmc_chunked(params, spec: FlowSpec, lf: LeapfrogConfig, *,
         n = min(block, ntraj - done)
         key, krun = jax.random.split(key)
         z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=n, z0=z,
-                            key=krun, remat=remat)
+                            key=krun, remat=remat, integrator=integrator)
         jax.block_until_ready(z)
         blocks.append(hist)
         done += n
