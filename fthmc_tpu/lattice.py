@@ -152,6 +152,35 @@ def batch_force(x: jnp.ndarray, beta: float) -> jnp.ndarray:
     return jax.vmap(partial(force, beta=beta))(x)
 
 
+def wilson_loop_phase(x: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
+    """Phase of the R x T rectangular Wilson loop at every site of one
+    config x: (2, L0, L1) -> (L0, L1).
+
+    theta_loop(y) = sum_{r<R} t0(y+r e0) + sum_{t<T} t1(y+R e0+t e1)
+                  - sum_{r<R} t0(y+r e0+T e1) - sum_{t<T} t1(y+t e1)
+    R=T=1 reduces to plaq_phase. (Beyond-reference observable: the
+    reference computes only plaquettes and Q.)
+    """
+    x0, x1 = x[0], x[1]
+    bottom = sum(jnp.roll(x0, -r, axis=0) for r in range(R))
+    top = jnp.roll(bottom, -T, axis=1)
+    left = sum(jnp.roll(x1, -t, axis=1) for t in range(T))
+    right = jnp.roll(left, -R, axis=0)
+    return bottom + right - top - left
+
+
+def wilson_loop(x: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
+    """<cos theta_loop> of the R x T Wilson loop for one config (scalar).
+    In 2D U(1), <W(R,T)> = (I1/I0)^{R*T} at weak coupling - an area law
+    usable as an extra validation observable."""
+    return jnp.mean(jnp.cos(wilson_loop_phase(x, R, T)))
+
+
+def batch_wilson_loops(x: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
+    """(B, 2, L0, L1) -> (B,) mean R x T Wilson loop per chain."""
+    return jax.vmap(lambda y: wilson_loop(y, R, T))(x)
+
+
 def gauge_transform(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Apply a gauge transformation alpha: (L0, L1) to links x: (2, L0, L1).
 

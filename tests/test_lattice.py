@@ -76,6 +76,33 @@ def test_wrap_range():
     np.testing.assert_allclose(np.cos(w), np.cos(np.asarray(x)), atol=1e-5)
 
 
+def test_wilson_loop_1x1_is_plaq(x_batch):
+    w11 = np.asarray(lattice.batch_wilson_loops(x_batch, 1, 1))
+    pm = np.asarray(lattice.batch_plaq_mean(x_batch))
+    np.testing.assert_allclose(w11, pm, atol=1e-6)
+
+
+def test_wilson_loop_gauge_invariant(x_batch):
+    key = jax.random.PRNGKey(21)
+    xg = lattice.random_gauge_transform(key, x_batch)
+    w = np.asarray(lattice.batch_wilson_loops(x_batch, 2, 3))
+    wg = np.asarray(lattice.batch_wilson_loops(xg, 2, 3))
+    np.testing.assert_allclose(w, wg, atol=1e-4)
+
+
+def test_wilson_loop_area_law():
+    """In 2D U(1), <W(R,T)> = (I1(b)/I0(b))^(R*T) exactly on the infinite
+    lattice; check on an equilibrated ensemble within loose stat errors."""
+    from fthmc_tpu.config import HMCConfig
+    from fthmc_tpu.hmc import run_hmc
+    cfg = HMCConfig(beta=2.0, L=8, tau=2.0, nstep=10, ntraj=300,
+                    n_chains=32, randinit=True, seed=13)
+    x, _ = run_hmc(cfg)
+    w22 = float(np.mean(np.asarray(lattice.batch_wilson_loops(x, 2, 2))))
+    expect = lattice.PLAQ_EXACT[2.0] ** 4
+    assert abs(w22 - expect) < 0.05
+
+
 @pytest.mark.parametrize("beta", [1.0, 2.0])
 def test_plaq_exact_table_sanity(beta):
     # the stored exact values are I1(beta)/I0(beta)
