@@ -40,8 +40,8 @@ PI = math.pi
 TWO_PI = 2.0 * math.pi
 
 __all__ = ["leapfrog", "omelyan", "hmc_step", "run_hmc", "run_hmc_chunked",
-           "ft_action", "ft_force", "fthmc_step", "run_fthmc",
-           "run_fthmc_chunked", "TrajMetrics"]
+           "run_hmc_thinned", "ft_action", "ft_force", "fthmc_step",
+           "run_fthmc", "run_fthmc_chunked", "TrajMetrics"]
 
 
 class TrajMetrics(NamedTuple):
@@ -201,6 +201,62 @@ def _run_hmc_scan(key, x0, beta, dt, nstep, ntraj, backend="auto",
     keys = jax.random.split(key, ntraj)
     (x, _), history = jax.lax.scan(body, (x0, q0), keys)
     return x, history
+
+
+@partial(jax.jit, static_argnames=("beta", "dt", "nstep", "nblocks", "thin",
+                                   "backend", "integrator"))
+def _run_hmc_scan_thinned(key, x0, beta, dt, nstep, nblocks, thin,
+                          backend="auto", integrator="leapfrog"):
+    """nblocks x thin trajectories; record metrics only at block boundaries
+    but accumulate exact running means over EVERY trajectory. For very long
+    production runs where an (ntraj, B) history would not fit."""
+    q0 = lattice.batch_charges(x0)
+    zero = jnp.zeros((), x0.dtype)
+    sums0 = {"acc": zero, "plaq": zero, "exp_mdh": zero, "abs_dh": zero}
+
+    def inner(carry, key):
+        x, q, sums = carry
+        x, q, m = hmc_step(key, x, q, beta, dt, nstep, backend, integrator)
+        sums = {
+            "acc": sums["acc"] + jnp.mean(m.acc),
+            "plaq": sums["plaq"] + jnp.mean(m.plaq),
+            "exp_mdh": sums["exp_mdh"] + jnp.mean(m.exp_mdh),
+            "abs_dh": sums["abs_dh"] + jnp.mean(jnp.abs(m.dh)),
+        }
+        return (x, q, sums), m
+
+    def outer(carry, keys):
+        (x, q, sums), ms = jax.lax.scan(inner, carry, keys)
+        last = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        return (x, q, sums), last
+
+    keys = jax.random.split(key, nblocks * thin).reshape(nblocks, thin, -1)
+    (x, _, sums), history = jax.lax.scan(outer, (x0, q0, sums0), keys)
+    n = nblocks * thin
+    summary = {k: v / n for k, v in sums.items()}
+    return x, history, summary
+
+
+def run_hmc_thinned(cfg: HMCConfig, *, thin: int,
+                    x0: jnp.ndarray | None = None,
+                    key: jax.Array | None = None, dtype=jnp.float32,
+                    backend: str = "auto", integrator: str = "leapfrog"):
+    """run_hmc for very long runs: the returned TrajMetrics history has one
+    entry per `thin` trajectories ((ntraj//thin, B) arrays), plus a summary
+    dict of exact running means (acc, plaq, exp_mdh, |dh|) over ALL
+    trajectories. cfg.ntraj must be divisible by thin."""
+    assert cfg.ntraj % thin == 0, (cfg.ntraj, thin)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    if x0 is None:
+        if cfg.randinit:
+            key, k0 = jax.random.split(key)
+            x0 = lattice.hot_start(k0, cfg.n_chains, cfg.L, dtype)
+        else:
+            x0 = jnp.zeros((cfg.n_chains, 2, cfg.L, cfg.L), dtype)
+    return _run_hmc_scan_thinned(key, x0, cfg.beta, cfg.dt, cfg.nstep,
+                                 cfg.ntraj // thin, thin, backend,
+                                 integrator)
 
 
 def run_hmc(cfg: HMCConfig, x0: jnp.ndarray | None = None,

@@ -77,6 +77,25 @@ def test_run_hmc_chunked_matches_shapes():
     assert np.isfinite(np.asarray(hist.dh)).all()
 
 
+def test_run_hmc_thinned_summary_consistent():
+    """Thinned history + streaming summary: summary means over ALL
+    trajectories must agree with a full (unthinned) run statistically, and
+    the thinned history must be exactly every k-th entry count."""
+    from fthmc_tpu.hmc import run_hmc_thinned
+    cfg = HMCConfig(beta=2.0, L=8, tau=2.0, nstep=8, ntraj=64,
+                    n_chains=16, randinit=True, seed=5)
+    x, hist, summary = run_hmc_thinned(cfg, thin=8)
+    assert hist.plaq.shape == (8, 16)
+    for k in ("acc", "plaq", "exp_mdh", "abs_dh"):
+        assert np.isfinite(float(summary[k]))
+    # same key/config without thinning gives the same final state
+    x_full, hist_full = run_hmc(cfg)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_full), atol=1e-5)
+    np.testing.assert_allclose(
+        float(summary["plaq"]),
+        float(np.asarray(hist_full.plaq).mean()), rtol=1e-4)
+
+
 def test_run_hmc_rejection_keeps_state():
     """With an absurd step size everything rejects and the state is frozen."""
     cfg = HMCConfig(beta=2.0, L=8, tau=80.0, nstep=2, ntraj=4,
