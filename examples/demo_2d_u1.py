@@ -16,7 +16,7 @@ import numpy as np
 
 from fthmc_tpu import api
 from fthmc_tpu.config import HMCConfig, LeapfrogConfig, TrainConfig
-from fthmc_tpu.observables import tau_int, topo_susceptibility
+from fthmc_tpu.observables import tau_int
 
 
 def main():
@@ -51,7 +51,7 @@ def main():
 
     # ---- 2. train a gauge-equivariant flow -------------------------------
     print("== train flow ==")
-    from fthmc_tpu.train import init_train_state, train
+    from fthmc_tpu.train import train
     tcfg = TrainConfig(L=L, beta=beta, n_era=2 if q else 10,
                        n_epoch=20 if q else 100,
                        batch_size=64, base_lr=1e-3,

@@ -23,7 +23,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from fthmc_tpu import lattice
@@ -34,8 +33,7 @@ from fthmc_tpu.config import (FlowSpec, HMCConfig, LeapfrogConfig,
 from fthmc_tpu.hmc import run_fthmc, run_fthmc_chunked, run_hmc
 from fthmc_tpu.utils.tboard import TBWriter
 from fthmc_tpu.models.flow import count_parameters
-from fthmc_tpu.observables import (acceptance_rate, tau_int,
-                                   topo_susceptibility)
+from fthmc_tpu.observables import tau_int
 from fthmc_tpu.sampling import generate_ensemble
 from fthmc_tpu.train import init_train_state, train
 from fthmc_tpu.utils.logger import Logger, MetricsWriter

@@ -17,8 +17,6 @@ validated against the single-device kernel on the CPU test mesh
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,8 +17,6 @@ on one device or gather first.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -32,8 +30,7 @@ from fthmc_tpu.models.coupling import (mixture_tan_transform,
 from fthmc_tpu.models.masks import (layer_mask_params, link_active_stripes,
                                     plaq_masks)
 from fthmc_tpu.ops.conv import ACTIVATIONS
-from fthmc_tpu.parallel.domain import (delta_action_sharded,
-                                       plaq_phase_sharded,
+from fthmc_tpu.parallel.domain import (plaq_phase_sharded,
                                        topo_charge_sharded)
 
 __all__ = ["flow_forward_sharded", "ft_action_sharded", "ft_force_sharded",

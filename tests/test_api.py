@@ -1,6 +1,5 @@
 """Reference-facade API smoke tests."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from fthmc_tpu import api

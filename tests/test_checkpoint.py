@@ -3,12 +3,11 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from fthmc_tpu.checkpoint import (find_and_load_checkpoint, latest_checkpoint,
                                   load_checkpoint, load_history,
-                                  save_checkpoint, save_history)
+                                  save_checkpoint)
 from fthmc_tpu.config import TrainConfig
 from fthmc_tpu.train import init_train_state
 
