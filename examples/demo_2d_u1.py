@@ -9,7 +9,11 @@ down further for CPU).
     python examples/demo_2d_u1.py [--quick]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
@@ -28,6 +32,10 @@ def main():
     args = ap.parse_args()
 
     q = args.quick
+    if q:
+        print("[--quick: tiny flow/short runs; physics checks hold but "
+              "acceptances/ESS will be low. Run without --quick for the "
+              "real numbers.]")
     beta, L = args.beta, args.L
     exact = api.PLAQ_EXACT.get(beta)
 
