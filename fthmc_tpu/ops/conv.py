@@ -11,11 +11,14 @@ the VPU/MXU with the spatial plane as the vectorized axis.
 """
 from __future__ import annotations
 
+from functools import lru_cache as _functools_lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["circular_conv2d", "conv_net_apply", "init_conv_net", "ACTIVATIONS"]
+__all__ = ["circular_conv2d", "circular_conv2d_dense", "conv_net_apply",
+           "init_conv_net", "ACTIVATIONS"]
 
 
 def circular_conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
@@ -48,6 +51,58 @@ ACTIVATIONS = {
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
     "tanh": jnp.tanh,
 }
+
+
+@_functools_lru_cache(maxsize=None)
+def _circulant_index(L: int, k: int):
+    """Static neighbor table for the dense-circulant expansion: for each
+    kernel tap (dy, dx), the flat site index q(p) = ((i+dy)%L)*L + (j+dx)%L.
+    Returns numpy arrays (taps, L*L)."""
+    import numpy as np
+    r = k // 2
+    p = np.arange(L * L)
+    i, j = p // L, p % L
+    qs = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            qs.append(((i + dy) % L) * L + ((j + dx) % L))
+    return np.stack(qs), p
+
+
+def dense_circulant(w: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Expand a (Cout, Cin, k, k) periodic-conv kernel into the equivalent
+    dense matrix (Cin*L*L, Cout*L*L) so the conv becomes ONE matmul.
+
+    Measured note: as a flow-CNN replacement this LOST 3x end-to-end at 8^2
+    (XLA re-materializes the expansion inside the leapfrog scan rather than
+    hoisting it, and the 64x FLOP overhead dominates); kept as a validated
+    utility for contexts where the dense operator can be precomputed once.
+    """
+    O, C, k, _ = w.shape
+    qs, p = _circulant_index(L, k)
+    D = jnp.zeros((C, L * L, O, L * L), w.dtype)
+    t = 0
+    for dy in range(k):
+        for dx in range(k):
+            # y[b,o,p] += w[o,c,dy,dx] * x[b,c,q(p)]
+            # (separated advanced indices move their joint axis to the
+            # front: value shape is (L*L, C, O))
+            D = D.at[:, qs[t], :, p].add(
+                jnp.broadcast_to(w[:, :, dy, dx].T[None, :, :],
+                                 (L * L, C, O)))
+            t += 1
+    return D.reshape(C * L * L, O * L * L)
+
+
+def circular_conv2d_dense(x: jnp.ndarray, w: jnp.ndarray,
+                          b: jnp.ndarray) -> jnp.ndarray:
+    """Periodic conv via the dense-circulant matmul. x: (B, Cin, L, L)."""
+    B, C, L, _ = x.shape
+    O = w.shape[0]
+    D = dense_circulant(w, L)
+    y = jnp.dot(x.reshape(B, C * L * L), D,
+                preferred_element_type=x.dtype)
+    return y.reshape(B, O, L, L) + b[None, :, None, None]
 
 
 def init_conv_net(

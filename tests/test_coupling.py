@@ -94,3 +94,17 @@ def test_logdet_matches_autodiff_jacobian(spec2, params2):
     _, logJ = C.link_coupling_forward(net, x, 0, 1, spec2)
     assert sign > 0
     np.testing.assert_allclose(float(logJ[0]), ladet, atol=1e-3)
+
+
+def test_dense_circulant_equals_conv():
+    from fthmc_tpu.ops.conv import circular_conv2d, circular_conv2d_dense
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 3, 3), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (8,))
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 2, 8, 8), jnp.float32)
+    y1 = circular_conv2d(x, w, b)
+    y2 = circular_conv2d_dense(x, w, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    g1 = jax.grad(lambda ww: jnp.sum(jnp.sin(circular_conv2d(x, ww, b))))(w)
+    g2 = jax.grad(
+        lambda ww: jnp.sum(jnp.sin(circular_conv2d_dense(x, ww, b))))(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
