@@ -78,3 +78,19 @@ def test_run_fthmc_random_flow_exactness(params2, spec2):
     assert abs(emdh.mean() - 1.0) < 0.15
     assert abs(plaq.mean() - lattice.PLAQ_EXACT[2.0]) < 0.02
     assert acc.mean() > 0.3
+
+
+def test_run_fthmc_chunked(identity_params2, spec2):
+    from fthmc_tpu.hmc import run_fthmc_chunked
+    from fthmc_tpu.config import LeapfrogConfig
+    from fthmc_tpu import lattice
+    lf = LeapfrogConfig(tau=1.0, nstep=4)
+    z0 = lattice.hot_start(jax.random.PRNGKey(0), 4, 8)
+    calls = []
+    z, hist = run_fthmc_chunked(
+        identity_params2, spec2, lf, beta=2.0, ntraj=10, z0=z0,
+        key=jax.random.PRNGKey(1), block=4,
+        callback=lambda done, h: calls.append(done))
+    assert calls == [4, 8, 10]
+    assert hist.plaq.shape == (10, 4)
+    assert np.isfinite(np.asarray(hist.dh)).all()
