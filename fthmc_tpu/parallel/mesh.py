@@ -21,7 +21,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -126,9 +125,3 @@ def sharded_train_step(mesh: Mesh, spec, *, batch: int, L: int, beta: float,
         return train_step(state, spec, batch, L, beta, dkl_factor, base_lr)
 
     return step
-
-
-def pooled_metric(mesh: Mesh, x, axis: str = "chains"):
-    """Mean of a per-chain metric pooled across the mesh (host-side helper:
-    jnp.mean over a sharded array already psums under jit)."""
-    return jnp.mean(x)
