@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Train a flow at beta >= 3 (spline or NCP coupling, beta-annealed) and
+evaluate it for FT-HMC: acceptance vs nstep, then tau_int(Q) head-to-head
+against plain HMC if acceptance clears 0.5.
+
+The round-1 finding this attacks: NCP flows are un-integrable for FT-HMC at
+16^2 beta >= 3 (BENCH.md). The spline coupling family + annealing is the
+round-2 fix (VERDICT.md next-round item 1).
+
+Usage:
+  python experiments/train_highbeta.py --L 16 --beta 3 --outdir runs/b3
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fthmc_tpu import lattice
+from fthmc_tpu.checkpoint import save_checkpoint
+from fthmc_tpu.config import FlowSpec, HMCConfig, LeapfrogConfig, TrainConfig
+from fthmc_tpu.hmc import run_fthmc, run_fthmc_chunked, run_hmc
+from fthmc_tpu.models.flow import count_parameters
+from fthmc_tpu.observables import tau_int
+from fthmc_tpu.train import init_train_state, train
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--L", type=int, default=16)
+    p.add_argument("--beta", type=float, default=3.0)
+    p.add_argument("--beta-init", type=float, default=2.0)
+    p.add_argument("--anneal-frac", type=float, default=0.6)
+    p.add_argument("--coupling", default="spline")
+    p.add_argument("--n-knots", type=int, default=8)
+    p.add_argument("--n-layers", type=int, default=24)
+    p.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
+    p.add_argument("--activation", default="silu")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--n-era", type=int, default=20)
+    p.add_argument("--n-epoch", type=int, default=500)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--eval-chains", type=int, default=64)
+    p.add_argument("--eval-ntraj", type=int, default=256)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--nsteps", type=int, nargs="+", default=[32, 64, 128])
+    p.add_argument("--skip-train", action="store_true")
+    args = p.parse_args()
+
+    os.makedirs(args.outdir, exist_ok=True)
+    spec = FlowSpec(n_layers=args.n_layers, coupling=args.coupling,
+                    n_knots=args.n_knots, hidden_sizes=tuple(args.hidden),
+                    activation=args.activation)
+    cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
+                      n_epoch=args.n_epoch, batch_size=args.batch,
+                      base_lr=args.lr, flow=spec, seed=args.seed,
+                      beta_init=args.beta_init,
+                      beta_anneal_frac=args.anneal_frac)
+    state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    print(f"flow: {args.coupling} K={args.n_knots} layers={args.n_layers} "
+          f"hidden={args.hidden} params={count_parameters(state.params)}",
+          flush=True)
+
+    results = {"args": vars(args)}
+    ckptdir = os.path.join(args.outdir, "checkpoints")
+    if not args.skip_train:
+        t0 = time.time()
+
+        def cb(step, m):
+            if step % 250 == 0:
+                print(f"step {step}: dkl={m['loss_dkl']:.1f} "
+                      f"ess={m['ess']:.4f} beta={m.get('beta', 0):.3f} "
+                      f"plaq={m['plaq']:.4f}", flush=True)
+
+        state, hist = train(cfg, state, callback=cb)
+        wall = time.time() - t0
+        print(f"train wall {wall:.1f}s "
+              f"({cfg.n_era * cfg.n_epoch / wall:.1f} steps/s)", flush=True)
+        save_checkpoint(ckptdir, state, era=cfg.n_era - 1, epoch=cfg.n_epoch)
+        results["train"] = {
+            "wall_s": wall,
+            "ess_final": float(np.mean(hist["ess"][-20:])),
+            "dkl_final": float(np.mean(hist["loss_dkl"][-20:]))}
+        print("final ESS:", results["train"]["ess_final"], flush=True)
+    else:
+        from fthmc_tpu.checkpoint import find_and_load_checkpoint
+        state, _ = find_and_load_checkpoint(ckptdir, state)
+
+    # --- FT-HMC acceptance scan over nstep ---
+    key = jax.random.PRNGKey(123)
+    z0 = lattice.hot_start(key, args.eval_chains, args.L)
+    results["fthmc"] = {}
+    best = None
+    for nstep in args.nsteps:
+        lf = LeapfrogConfig(tau=args.tau, nstep=nstep)
+        key, krun = jax.random.split(key)
+        t0 = time.time()
+        z, h = run_fthmc(state.params, spec, lf, beta=args.beta,
+                         ntraj=args.eval_ntraj, z0=z0, key=krun)
+        jax.block_until_ready(z)
+        wall = time.time() - t0
+        t = args.eval_ntraj // 4
+        r = {"acc": float(np.asarray(h.acc)[t:].mean()),
+             "plaq": float(np.asarray(h.plaq)[t:].mean()),
+             "exp_mdh": float(np.asarray(h.exp_mdh)[t:].mean()),
+             "abs_dh": float(np.abs(np.asarray(h.dh)[t:]).mean()),
+             "s_per_traj": wall / args.eval_ntraj}
+        results["fthmc"][str(nstep)] = r
+        print(f"FT-HMC nstep={nstep}: acc={r['acc']:.3f} "
+              f"plaq={r['plaq']:.5f} |dH|={r['abs_dh']:.3f} "
+              f"exact={lattice.PLAQ_EXACT.get(args.beta)}", flush=True)
+        if r["acc"] > 0.5 and best is None:
+            best = nstep
+
+    # --- tau_int head-to-head at the first nstep with acc > 0.5 ---
+    if best is not None:
+        ntraj = 4096
+        lf = LeapfrogConfig(tau=args.tau, nstep=best)
+        key, k1, k2 = jax.random.split(key, 3)
+        z, h = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
+                                 ntraj=ntraj, z0=z0, key=k1, block=1024)
+        q_ft = np.asarray(h.q)[ntraj // 4:]
+        hcfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau, nstep=best,
+                         ntraj=ntraj, n_chains=args.eval_chains,
+                         randinit=True)
+        x, hh = run_hmc(hcfg, key=k2)
+        q_h = np.asarray(hh.q)[ntraj // 4:]
+        ti_ft = float(np.mean([tau_int(q_ft[:, c])
+                               for c in range(q_ft.shape[1])]))
+        ti_h = float(np.mean([tau_int(q_h[:, c])
+                              for c in range(q_h.shape[1])]))
+        results["tau_int"] = {
+            "nstep": best, "ntraj": ntraj,
+            "fthmc": ti_ft, "hmc": ti_h,
+            "speedup": ti_h / ti_ft,
+            "chi_q_fthmc": float(np.mean(q_ft ** 2)),
+            "chi_q_hmc": float(np.mean(q_h ** 2)),
+            "acc_fthmc": float(np.asarray(h.acc)[ntraj // 4:].mean()),
+            "acc_hmc": float(np.asarray(hh.acc)[ntraj // 4:].mean()),
+        }
+        print("tau_int:", json.dumps(results["tau_int"], indent=1),
+              flush=True)
+
+    with open(os.path.join(args.outdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print("done ->", args.outdir, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,9 +5,12 @@ find_and_load_checkpoint: torch .tar of {era, epoch, model_state_dict,
 optimizer_state_dict, history}, newest-by-mtime discovery) and
 train.py:77-92 (restore_model_from_checkpoint).
 
-Here a checkpoint is an orbax PyTree save of the full TrainState (params +
-opt_state + RNG key + step + scheduler state) plus metadata {era, epoch};
-discovery is the same newest-wins rule over per-era directories.
+Here a checkpoint is an orbax StandardCheckpointer save of the full
+TrainState (params + opt_state + RNG key + step + scheduler state) plus
+metadata {era, epoch}; discovery is the same newest-wins rule over per-era
+directories. meta.json / history.npz sidecars live NEXT TO the orbax
+directory (ckpt_...meta.json), never inside it - orbax owns its directory
+contents and foreign files are not guaranteed to survive upgrades.
 """
 from __future__ import annotations
 
@@ -37,22 +40,24 @@ def _to_host(tree):
 def save_checkpoint(outdir: str, state, *, era: int, epoch: int,
                     history: dict | None = None) -> str:
     """Save state under outdir/ckpt_era{era}_epoch{epoch}. Returns the path.
-    (reference io.py:114-172)"""
+    (reference io.py:114-172; history rides along like the reference's
+    checkpoint['history'])"""
     os.makedirs(outdir, exist_ok=True)
     path = os.path.abspath(os.path.join(outdir, f"ckpt_era{era}_epoch{epoch}"))
     tree = _to_host(state)
     if _HAVE_ORBAX:
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
     else:  # pragma: no cover - orbax is baked into the image
         os.makedirs(path, exist_ok=True)
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         np.savez(os.path.join(path, "leaves.npz"),
                  **{str(i): l for i, l in enumerate(leaves)})
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(path + ".meta.json", "w") as f:
         json.dump({"era": era, "epoch": epoch}, f)
     if history is not None:
-        save_history(history, os.path.join(path, "history.npz"))
+        save_history(history, path + ".history.npz")
     return path
 
 
@@ -61,8 +66,8 @@ def load_checkpoint(path: str, target):
     TrainState with correctly-shaped arrays). Returns (state, meta)."""
     path = os.path.abspath(path)  # orbax requires absolute paths
     if _HAVE_ORBAX:
-        ckptr = ocp.PyTreeCheckpointer()
-        tree = ckptr.restore(path, item=_to_host(target))
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(path, _to_host(target))
     else:  # pragma: no cover
         data = np.load(os.path.join(path, "leaves.npz"))
         leaves = [data[str(i)] for i in range(len(data.files))]
@@ -71,11 +76,13 @@ def load_checkpoint(path: str, target):
     state = jax.tree_util.tree_map(
         lambda t, v: jax.numpy.asarray(v, getattr(t, "dtype", None)),
         target, tree)
-    meta_path = os.path.join(path, "meta.json")
     meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    # sidecar first; fall back to the legacy inside-the-dir location
+    for meta_path in (path + ".meta.json", os.path.join(path, "meta.json")):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            break
     return state, meta
 
 

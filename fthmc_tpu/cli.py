@@ -60,14 +60,30 @@ def _summarize_hmc(hist, therm_frac: float = 0.25) -> dict:
 def cmd_hmc(args) -> dict:
     cfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau, nstep=args.nstep,
                     ntraj=args.ntraj, n_chains=args.chains, seed=args.seed,
-                    randinit=True)
+                    nrun=getattr(args, "nrun", 1), randinit=True)
     logger.rule(f"HMC {cfg.L}x{cfg.L} beta={cfg.beta}")
     t0 = time.time()
-    x, hist = run_hmc(cfg, integrator=getattr(args, "integrator",
-                                              "leapfrog"))
+    if cfg.nrun > 1:
+        from fthmc_tpu.hmc import run_hmc_nrun
+        x, runs = run_hmc_nrun(
+            cfg, integrator=getattr(args, "integrator", "leapfrog"))
+        # fold the independent-run axis into the chain axis for summary
+        # stats; per-run scatter is reported as plaq_err
+        import numpy as _np
+        hist = type(runs)(*[
+            _np.concatenate(list(_np.asarray(getattr(runs, f))), axis=1)
+            for f in runs._fields])
+    else:
+        x, hist = run_hmc(cfg, integrator=getattr(args, "integrator",
+                                                  "leapfrog"))
     jax.block_until_ready(x)
     dt = time.time() - t0
     stats = _summarize_hmc(hist)
+    if cfg.nrun > 1:
+        t = int(runs.plaq.shape[1] * 0.25)
+        per_run = np.asarray(runs.plaq)[:, t:].mean(axis=(1, 2))
+        stats["plaq_err"] = float(per_run.std(ddof=1)
+                                  / max(1, cfg.nrun - 1) ** 0.5)
     stats["s_per_traj"] = dt / cfg.ntraj
     stats["exact_plaq"] = lattice.PLAQ_EXACT.get(cfg.beta)
     logger.print_metrics(stats)
@@ -86,7 +102,11 @@ def cmd_hmc(args) -> dict:
 def _flow_spec(args) -> FlowSpec:
     return FlowSpec(n_layers=args.n_layers, n_mixture=args.n_mixture,
                     hidden_sizes=tuple(args.hidden), kernel_size=args.kernel,
-                    activation=args.activation)
+                    activation=args.activation,
+                    coupling=getattr(args, "coupling", "ncp"),
+                    n_knots=getattr(args, "n_knots", 8),
+                    s_clip=getattr(args, "s_clip", None),
+                    conv_dtype=getattr(args, "conv_dtype", "float32"))
 
 
 def cmd_train(args) -> dict:
@@ -94,19 +114,24 @@ def cmd_train(args) -> dict:
     cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
                       n_epoch=args.n_epoch, batch_size=args.batch_size,
                       base_lr=args.lr, flow=spec, seed=args.seed,
-                      with_force=args.with_force)
+                      with_force=args.with_force,
+                      beta_init=getattr(args, "beta_init", None),
+                      beta_anneal_frac=getattr(args, "anneal_frac", 0.7))
     outdir = args.outdir or cfg.logdir()
     ckptdir = os.path.join(outdir, "checkpoints")
     logger.rule(f"train flow {cfg.L}x{cfg.L} beta={cfg.beta} "
-                f"({spec.n_layers} layers)")
+                f"({spec.n_layers} layers, {spec.coupling})")
 
     state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     logger.log(f"flow parameters: {count_parameters(state.params)}")
+    start_era = 0
     if cfg.restore or args.restore:
         found = find_and_load_checkpoint(ckptdir, state)
         if found is not None:
             state, meta = found
-            logger.log(f"restored checkpoint era={meta.get('era')}")
+            start_era = int(meta.get("era", -1)) + 1
+            logger.log(f"restored checkpoint era={meta.get('era')}; "
+                       f"continuing from era {start_era}")
 
     writer = MetricsWriter(os.path.join(outdir, "train_metrics.jsonl"))
     sched = (SchedulerConfig(factor=args.sched_factor,
@@ -114,7 +139,8 @@ def cmd_train(args) -> dict:
              if args.scheduler else None)
 
     def cb(step, metrics):
-        writer.write(step, metrics, prefix="training")
+        if step % cfg.log_freq == 0:
+            writer.write(step, metrics, prefix="training")
         if step % cfg.print_freq == 0:
             logger.print_metrics(
                 {k: metrics[k] for k in
@@ -124,16 +150,23 @@ def cmd_train(args) -> dict:
 
     def ckpt(era, st, history):
         save_checkpoint(ckptdir, st, era=era, epoch=cfg.n_epoch,
-                        history=None)
+                        history={k: np.asarray(v, dtype=np.float64)
+                                 for k, v in history.items()
+                                 if np.ndim(v[0]) == 0})
 
     t0 = time.time()
     state, history = train(cfg, state, scheduler=sched, callback=cb,
-                           checkpoint_fn=ckpt)
+                           checkpoint_fn=ckpt, start_era=start_era)
     wall = time.time() - t0
     save_history({k: np.asarray(v, dtype=np.float64)
                   for k, v in history.items() if np.ndim(v[0]) == 0},
                  os.path.join(outdir, "train_history.npz"))
     writer.close()
+    if cfg.plot_freq > 0 and history.get("loss_dkl"):
+        from fthmc_tpu.utils.plotting import plot_history
+        plot_history({k: np.asarray(v) for k, v in history.items()
+                      if np.ndim(v[0]) == 0},
+                     outdir=os.path.join(outdir, "plots"))
     final = {"wall_s": wall,
              "ess": float(np.mean(history["ess"][-10:])),
              "loss_dkl": float(np.mean(history["loss_dkl"][-10:])),
@@ -268,9 +301,13 @@ def cmd_pipeline(args) -> dict:
                              outdir=None)
     results["fthmc"] = cmd_fthmc(fns, state=state, spec=spec)
 
-    # 5. Volume transfer: SAME params at 2L (+ optional fine-tune)
+    # 5. Volume transfer: SAME params at 2L. Reference semantics
+    # (main.py:198-216): HMC baseline at 2L, fine-tune, then the full
+    # train_and_evaluate eval pair (flow sampling + FT-HMC) at 2L.
     L2 = 2 * train_cfg.L
     logger.rule(f"volume transfer -> {L2}x{L2}")
+    ns2 = argparse.Namespace(**{**vars(ns), "L": L2})
+    results["hmc_2L"] = cmd_hmc(ns2)
     if args.transfer_epochs > 0:
         cfg2 = dataclasses.replace(train_cfg, L=L2, n_era=1,
                                    n_epoch=args.transfer_epochs,
@@ -279,6 +316,10 @@ def cmd_pipeline(args) -> dict:
         # masks rebuild from the new lattice shape at trace time)
         from fthmc_tpu.train import train as _train
         state, _ = _train(cfg2, state)
+    sns2 = argparse.Namespace(**{**vars(sns), "L": L2})
+    ens2 = cmd_sample(sns2, state=state, spec=spec)
+    results["sample_2L"] = {k: ens2[k] for k in
+                            ("accept_rate", "suscept_mean", "suscept_err")}
     fns2 = argparse.Namespace(**{**vars(fns), "L": L2})
     results["fthmc_transfer"] = cmd_fthmc(fns2, state=state, spec=spec)
 
@@ -312,6 +353,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--hidden", type=int, nargs="+", default=[8, 8])
         sp.add_argument("--kernel", type=int, default=3)
         sp.add_argument("--activation", type=str, default="silu")
+        sp.add_argument("--coupling", choices=["ncp", "spline"],
+                        default="ncp")
+        sp.add_argument("--n-knots", type=int, default=8)
+        sp.add_argument("--s-clip", type=float, default=None)
+        sp.add_argument("--conv-dtype", choices=["float32", "bfloat16"],
+                        default="float32")
 
     sp = sub.add_parser("hmc")
     common(sp)
@@ -319,6 +366,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nstep", type=int, default=10)
     sp.add_argument("--ntraj", type=int, default=256)
     sp.add_argument("--chains", type=int, default=16)
+    sp.add_argument("--nrun", type=int, default=1,
+                    help="independent fresh-init runs (reference nrun)")
     sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
                     default="leapfrog")
     sp.set_defaults(fn=cmd_hmc)
@@ -331,6 +380,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-size", type=int, default=64)
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--with-force", action="store_true")
+    sp.add_argument("--beta-init", type=float, default=None,
+                    help="beta-annealed training: ramp beta from this value")
+    sp.add_argument("--anneal-frac", type=float, default=0.7)
     sp.add_argument("--restore", action="store_true")
     sp.add_argument("--scheduler", action="store_true")
     sp.add_argument("--sched-factor", type=float, default=0.5)

@@ -33,6 +33,12 @@ class FlowSpec:
     n_mixture: int = 2            # NCP mixture components (reference n_s_nets)
     hidden_sizes: tuple[int, ...] = (8, 8)
     kernel_size: int = 3
+    coupling: str = "ncp"         # 'ncp' (reference architecture) | 'spline'
+                                  # (circular rational-quadratic spline,
+                                  # models/spline.py - higher capacity, works
+                                  # at beta >= 3 where NCP cannot; analytic
+                                  # inverse)
+    n_knots: int = 8              # spline bins per site (coupling='spline')
     activation: str = "silu"      # relu | silu | swish | leaky_relu | tanh
     init: str = "reference"       # effective torch-default init (see
                                   # ops/conv.init_conv_net docstring)
@@ -133,6 +139,12 @@ class TrainConfig:
     force_lr_factor: float = 0.01  # force-matching LR = base_lr * this
                                    # (prototype ipynb/ft_hmc.py:320)
     dkl_factor: float = 1.0
+    beta_init: float | None = None  # beta-annealed training: start from this
+                                    # beta and ramp linearly to `beta` over
+                                    # beta_anneal_frac of all steps (no
+                                    # reference counterpart; the continuation
+                                    # trick that makes beta>=3 trainable)
+    beta_anneal_frac: float = 0.7
     print_freq: int = 50
     plot_freq: int = 50
     log_freq: int = 50

