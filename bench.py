@@ -2,9 +2,10 @@
 """Driver benchmark entry: prints ONE JSON line with the headline metric.
 
 Headline: plain-HMC leapfrog chain-steps/sec on one chip at 64^2, beta=6,
-1024 vmapped chains (BASELINE.json north star). vs_baseline is relative to
-the reference's CPU throughput volume-scaled to 64^2 (~9.3 chain-steps/s;
-derivation in fthmc_tpu/bench.py).
+1024 vmapped chains, tau=1 nstep=25 - the EXACT north-star config quoted in
+BENCH.md's throughput table (BASELINE.json north star). vs_baseline is
+relative to the reference's CPU throughput volume-scaled to 64^2
+(~9.3 chain-steps/s; derivation in fthmc_tpu/bench.py).
 """
 import json
 import sys
@@ -12,7 +13,7 @@ import sys
 
 def main():
     from fthmc_tpu.bench import bench_hmc_leapfrog
-    r = bench_hmc_leapfrog(L=64, chains=1024, beta=6.0, nstep=10, ntraj=50)
+    r = bench_hmc_leapfrog(L=64, chains=1024, beta=6.0, nstep=25, ntraj=20)
     print(json.dumps({
         "metric": r["metric"],
         "value": r["value"],

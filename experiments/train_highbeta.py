@@ -39,9 +39,14 @@ def main():
     p.add_argument("--anneal-frac", type=float, default=0.6)
     p.add_argument("--coupling", default="spline")
     p.add_argument("--n-knots", type=int, default=8)
+    p.add_argument("--n-mixture", type=int, default=2)
     p.add_argument("--n-layers", type=int, default=24)
     p.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
     p.add_argument("--activation", default="silu")
+    p.add_argument("--s-clip", type=float, default=None)
+    p.add_argument("--with-force", action="store_true")
+    p.add_argument("--integrator", default="leapfrog",
+                   choices=["leapfrog", "omelyan"])
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--n-era", type=int, default=20)
@@ -57,11 +62,13 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     spec = FlowSpec(n_layers=args.n_layers, coupling=args.coupling,
-                    n_knots=args.n_knots, hidden_sizes=tuple(args.hidden),
-                    activation=args.activation)
+                    n_knots=args.n_knots, n_mixture=args.n_mixture,
+                    hidden_sizes=tuple(args.hidden),
+                    activation=args.activation, s_clip=args.s_clip)
     cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
                       n_epoch=args.n_epoch, batch_size=args.batch,
                       base_lr=args.lr, flow=spec, seed=args.seed,
+                      with_force=args.with_force,
                       beta_init=args.beta_init,
                       beta_anneal_frac=args.anneal_frac)
     state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
@@ -104,7 +111,8 @@ def main():
         key, krun = jax.random.split(key)
         t0 = time.time()
         z, h = run_fthmc(state.params, spec, lf, beta=args.beta,
-                         ntraj=args.eval_ntraj, z0=z0, key=krun)
+                         ntraj=args.eval_ntraj, z0=z0, key=krun,
+                         integrator=args.integrator)
         jax.block_until_ready(z)
         wall = time.time() - t0
         t = args.eval_ntraj // 4
@@ -126,7 +134,8 @@ def main():
         lf = LeapfrogConfig(tau=args.tau, nstep=best)
         key, k1, k2 = jax.random.split(key, 3)
         z, h = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
-                                 ntraj=ntraj, z0=z0, key=k1, block=1024)
+                                 ntraj=ntraj, z0=z0, key=k1, block=1024,
+                                 integrator=args.integrator)
         q_ft = np.asarray(h.q)[ntraj // 4:]
         hcfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau, nstep=best,
                          ntraj=ntraj, n_chains=args.eval_chains,

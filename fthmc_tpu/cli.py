@@ -57,13 +57,29 @@ def _summarize_hmc(hist, therm_frac: float = 0.25) -> dict:
     return out
 
 
+def _maybe_mesh(args):
+    """Build a chain mesh when --devices > 1 (multi-chip production path)."""
+    n = getattr(args, "devices", 1) or 1
+    if n <= 1:
+        return None
+    from fthmc_tpu.parallel.mesh import make_chain_mesh
+    assert n <= jax.device_count(), (n, jax.device_count())
+    return make_chain_mesh(n)
+
+
 def cmd_hmc(args) -> dict:
     cfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau, nstep=args.nstep,
                     ntraj=args.ntraj, n_chains=args.chains, seed=args.seed,
                     nrun=getattr(args, "nrun", 1), randinit=True)
-    logger.rule(f"HMC {cfg.L}x{cfg.L} beta={cfg.beta}")
+    mesh = _maybe_mesh(args)
+    logger.rule(f"HMC {cfg.L}x{cfg.L} beta={cfg.beta}"
+                + (f" [{mesh.devices.size} devices]" if mesh else ""))
     t0 = time.time()
-    if cfg.nrun > 1:
+    if mesh is not None:
+        from fthmc_tpu.parallel.mesh import sharded_run_hmc
+        x, hist = sharded_run_hmc(
+            mesh, cfg, integrator=getattr(args, "integrator", "leapfrog"))
+    elif cfg.nrun > 1:
         from fthmc_tpu.hmc import run_hmc_nrun
         x, runs = run_hmc_nrun(
             cfg, integrator=getattr(args, "integrator", "leapfrog"))
@@ -79,7 +95,7 @@ def cmd_hmc(args) -> dict:
     jax.block_until_ready(x)
     dt = time.time() - t0
     stats = _summarize_hmc(hist)
-    if cfg.nrun > 1:
+    if cfg.nrun > 1 and mesh is None:
         t = int(runs.plaq.shape[1] * 0.25)
         per_run = np.asarray(runs.plaq)[:, t:].mean(axis=(1, 2))
         stats["plaq_err"] = float(per_run.std(ddof=1)
@@ -156,7 +172,8 @@ def cmd_train(args) -> dict:
 
     t0 = time.time()
     state, history = train(cfg, state, scheduler=sched, callback=cb,
-                           checkpoint_fn=ckpt, start_era=start_era)
+                           checkpoint_fn=ckpt, start_era=start_era,
+                           mesh=_maybe_mesh(args))
     wall = time.time() - t0
     save_history({k: np.asarray(v, dtype=np.float64)
                   for k, v in history.items() if np.ndim(v[0]) == 0},
@@ -208,8 +225,10 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
             raise SystemExit("no checkpoint found; pass --ckpt")
         state, _ = found
     lf = LeapfrogConfig(tau=args.tau, nstep=args.nstep)
+    mesh = _maybe_mesh(args)
     logger.rule(f"FT-HMC {args.L}x{args.L} beta={args.beta} "
-                f"tau={lf.tau} nstep={lf.nstep}")
+                f"tau={lf.tau} nstep={lf.nstep}"
+                + (f" [{mesh.devices.size} devices]" if mesh else ""))
     key = jax.random.PRNGKey(args.seed)
     z0 = lattice.hot_start(key, args.chains, args.L)
     tb = TBWriter(os.path.join(args.outdir, "summaries")) if (
@@ -225,11 +244,18 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
                       for k in block._fields}, step=done, prefix="ftHMC")
 
     t0 = time.time()
-    z, hist = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
-                                ntraj=args.ntraj, z0=z0, key=key,
-                                block=min(args.ntraj, 1024), callback=cb,
-                                integrator=getattr(args, "integrator",
-                                                   "leapfrog"))
+    if mesh is not None:
+        from fthmc_tpu.parallel.mesh import sharded_run_fthmc_chunked
+        z, hist = sharded_run_fthmc_chunked(
+            mesh, state.params, spec, lf, beta=args.beta, ntraj=args.ntraj,
+            z0=z0, key=key, block=min(args.ntraj, 1024), callback=cb,
+            integrator=getattr(args, "integrator", "leapfrog"))
+    else:
+        z, hist = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
+                                    ntraj=args.ntraj, z0=z0, key=key,
+                                    block=min(args.ntraj, 1024), callback=cb,
+                                    integrator=getattr(args, "integrator",
+                                                       "leapfrog"))
     jax.block_until_ready(z)
     dt = time.time() - t0
     if tb is not None:
@@ -346,6 +372,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--L", type=int, default=8)
         sp.add_argument("--seed", type=int, default=1331)
         sp.add_argument("--outdir", type=str, default=None)
+        sp.add_argument("--devices", type=int, default=1,
+                        help="shard chains/batch over this many devices "
+                             "(multi-chip production drivers)")
 
     def flow_args(sp):
         sp.add_argument("--n-layers", type=int, default=24)

@@ -185,9 +185,12 @@ def plaq_coupling_reverse(
 
 def _net_spline_raw(net_params, frozen, plaq, spec: FlowSpec):
     """CNN on the frozen plaquettes -> (raw spline channels (B,3K,L,L),
-    t (B,L,L)). With spec.s_clip the knot-derivative logits are smoothly
-    bounded (caps the spline slope in ~[e^-c, e^c], the same integrability
-    knob as for NCP)."""
+    t (B,L,L)). With spec.s_clip ALL spline logits are smoothly bounded
+    (c*tanh(raw/c)): width/height logits to +-c caps the bin aspect ratio at
+    e^{2c} (hence the max spline slope - unclipped softmax widths can reach
+    the 1e-3 floor, slopes O(1000), and the FT-HMC force then blows up:
+    measured |dH| ~ 1e4 at 16^2 beta=3), and derivative logits likewise.
+    The FT-HMC integrability knob, same role as for NCP."""
     K = spec.n_knots
     x2 = frozen * plaq
     compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
@@ -196,8 +199,7 @@ def _net_spline_raw(net_params, frozen, plaq, spec: FlowSpec):
     raw, t = out[:, :3 * K], out[:, 3 * K]
     if spec.s_clip is not None:
         c = spec.s_clip
-        dl = c * jnp.tanh(raw[:, 2 * K:] / c)
-        raw = jnp.concatenate([raw[:, :2 * K], dl], axis=1)
+        raw = c * jnp.tanh(raw / c)
     return raw, t
 
 

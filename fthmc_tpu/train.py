@@ -308,7 +308,8 @@ def anneal_betas(cfg: TrainConfig, era: int) -> jnp.ndarray | None:
 
 def train(cfg: TrainConfig, state: TrainState | None = None,
           scheduler: SchedulerConfig | None = None,
-          callback=None, checkpoint_fn=None, start_era: int = 0):
+          callback=None, checkpoint_fn=None, start_era: int = 0,
+          mesh=None):
     """Era x epoch training driver (reference train, train.py:236-431).
 
     Each era runs as ONE compiled scan (train_era) - the host only sees one
@@ -321,20 +322,34 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
     passes start_era=k+1 and trains the REMAINING eras (continuing both the
     era numbering and the beta-annealing schedule), matching the reference's
     era bookkeeping (fthmc/utils/io.py:114-172 stores era in the checkpoint).
+
+    `mesh`: an optional jax.sharding.Mesh - eras run data-parallel over its
+    devices (parallel.mesh.sharded_train_era: batch sharded, grads psum over
+    ICI, exact pooled metrics). Force-matching is single-device only.
     """
     if state is None:
         state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     history: dict[str, list] = {}
     spec = cfg.flow
+    if mesh is not None:
+        assert not cfg.with_force, "force-matching is single-device only"
+        from fthmc_tpu.parallel.mesh import sharded_train_era
 
     for era in range(start_era, cfg.n_era):
         t0 = time.time()
-        state, stacked = train_era(
-            state, spec, cfg.batch_size, cfg.L, cfg.beta, cfg.dkl_factor,
-            cfg.base_lr, cfg.n_epoch, sched=scheduler,
-            with_force=cfg.with_force,
-            force_lr_factor=cfg.force_lr_factor,
-            betas=anneal_betas(cfg, era))
+        if mesh is not None:
+            state, stacked = sharded_train_era(
+                mesh, state, spec, batch=cfg.batch_size, L=cfg.L,
+                beta=cfg.beta, dkl_factor=cfg.dkl_factor,
+                base_lr=cfg.base_lr, n_epoch=cfg.n_epoch, sched=scheduler,
+                betas=anneal_betas(cfg, era))
+        else:
+            state, stacked = train_era(
+                state, spec, cfg.batch_size, cfg.L, cfg.beta, cfg.dkl_factor,
+                cfg.base_lr, cfg.n_epoch, sched=scheduler,
+                with_force=cfg.with_force,
+                force_lr_factor=cfg.force_lr_factor,
+                betas=anneal_betas(cfg, era))
         host = {k: np.asarray(v) for k, v in stacked.items()}
         dt = time.time() - t0
         for e in range(cfg.n_epoch):
