@@ -34,6 +34,12 @@ from fthmc_tpu.train import init_train_state, train
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--L", type=int, default=16)
+    p.add_argument("--train-L", type=int, default=None,
+                   help="train at this (smaller) lattice and volume-transfer "
+                        "to --L for the FT-HMC eval (flow params are "
+                        "L-independent). Round-2 finding: natively-trained "
+                        "16^2 flows are rugged (leapfrog-unstable S_eff); "
+                        "8^2-trained flows transfer smooth.")
     p.add_argument("--beta", type=float, default=3.0)
     p.add_argument("--beta-init", type=float, default=2.0)
     p.add_argument("--anneal-frac", type=float, default=0.6)
@@ -65,7 +71,8 @@ def main():
                     n_knots=args.n_knots, n_mixture=args.n_mixture,
                     hidden_sizes=tuple(args.hidden),
                     activation=args.activation, s_clip=args.s_clip)
-    cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
+    train_L = args.train_L or args.L
+    cfg = TrainConfig(L=train_L, beta=args.beta, n_era=args.n_era,
                       n_epoch=args.n_epoch, batch_size=args.batch,
                       base_lr=args.lr, flow=spec, seed=args.seed,
                       with_force=args.with_force,
@@ -125,7 +132,7 @@ def main():
         print(f"FT-HMC nstep={nstep}: acc={r['acc']:.3f} "
               f"plaq={r['plaq']:.5f} |dH|={r['abs_dh']:.3f} "
               f"exact={lattice.PLAQ_EXACT.get(args.beta)}", flush=True)
-        if r["acc"] > 0.5 and best is None:
+        if r["acc"] > 0.35 and best is None:
             best = nstep
 
     # --- tau_int head-to-head at the first nstep with acc > 0.5 ---

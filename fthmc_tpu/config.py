@@ -33,11 +33,15 @@ class FlowSpec:
     n_mixture: int = 2            # NCP mixture components (reference n_s_nets)
     hidden_sizes: tuple[int, ...] = (8, 8)
     kernel_size: int = 3
-    coupling: str = "ncp"         # 'ncp' (reference architecture) | 'spline'
-                                  # (circular rational-quadratic spline,
-                                  # models/spline.py - higher capacity, works
-                                  # at beta >= 3 where NCP cannot; analytic
-                                  # inverse)
+    coupling: str = "ncp"         # 'ncp' (reference architecture) |
+                                  # 'rncp' (rotated-mixture NCP: per-
+                                  # component learned rotations - smooth
+                                  # high-capacity family for beta >= 3;
+                                  # coupling.py rncp_*) | 'spline' (circular
+                                  # RQ spline, models/spline.py - analytic
+                                  # inverse but a C^1 force that leapfrog
+                                  # cannot integrate at scale; sampling use
+                                  # only)
     n_knots: int = 8              # spline bins per site (coupling='spline')
     activation: str = "silu"      # relu | silu | swish | leaky_relu | tanh
     init: str = "reference"       # effective torch-default init (see

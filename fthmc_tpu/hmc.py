@@ -128,10 +128,13 @@ def _select_leapfrog(backend: str, x_shape, dtype) -> str:
     B, _, L, _ = x_shape
     if jax.default_backend() == "cpu" or dtype != jnp.float32:
         return "xla"
-    # chains-last: bitwise-equal to XLA, +~20% (rolls never touch the lane
-    # axis), but its (2, L, L, 128) block must fit VMEM and Mosaic compiles
-    # it pathologically slowly below L=16, so gate to 16 <= L <= 40.
-    if B % 128 == 0 and 16 <= L <= 40:
+    # chains-last: bitwise-equal to XLA per trajectory, +~20% (rolls never
+    # touch the lane axis); its (2, L, L, 128) block must fit VMEM. Round-1
+    # noted a "biased dH at L=8" - root-caused in round 2 as a measurement
+    # artifact (the remote-execution dedup): at high stats the kernel is
+    # unbiased at L=8 (plaq 0.69770(13) vs exact 0.69777, <exp(-dH)>=0.9999,
+    # reversible to fp32 roundoff), so the gate is 8 <= L <= 40.
+    if B % 128 == 0 and 8 <= L <= 40:
         return "pallas_cl"
     # chains-first: +12% at L=64; at smaller L its lane dim (= L) is padded
     # and it measures SLOWER than XLA (L=32) with very slow Mosaic compiles

@@ -178,6 +178,106 @@ def plaq_coupling_reverse(
 
 
 # ---------------------------------------------------------------------------
+# Rotated-mixture NCP ("rncp"): the smooth high-capacity family.
+#
+# Measured round-2 finding: C^1 rational-quadratic splines have a
+# DISCONTINUOUS force (logJ' kinks at bin boundaries), so FT-HMC dH scales
+# like dt instead of dt^2 (~23000*dt at 16^2 beta=3 across 512 dof x 24
+# layers) - leapfrog cannot integrate them at any useful step count. The
+# NCP transform is C-infinity but all mixture components steepen at the
+# same place (x=0), which caps its expressivity.
+#
+# rncp fixes both: f(x) = x + mean_i [h_{s_i}(y_i) - y_i],  y_i = wrap(x - r_i)
+# with per-component learned rotations r_i from the CNN. Each term is a
+# smooth circle diffeomorphism contribution with its steep region at r_i -
+# spline-like "learned knots" with an everywhere-smooth force. r_i = 0
+# recovers the reference NCP exactly. h' > 0 gives monotonicity; the
+# delta = h(y)-y form is 2pi-periodic and continuous at the seam (h(+-pi)
+# = +-pi), so the mixture mean needs no branch tracking.
+# logJ = logsumexp_i log h'_{s_i}(y_i) - log M (per-component arguments).
+# ---------------------------------------------------------------------------
+
+def rotated_mixture_transform(x: jnp.ndarray, s: jnp.ndarray,
+                              r: jnp.ndarray) -> jnp.ndarray:
+    """x: (B,1,L,L), s/r: (B,M,L,L) -> f(x): (B,L,L) (unwrapped; the caller
+    wraps after adding t)."""
+    y = wrap_pi(x - r)
+    delta = tan_transform(y, s) - y
+    return x[:, 0] + jnp.mean(delta, axis=1)
+
+
+def rotated_mixture_logJ(x: jnp.ndarray, s: jnp.ndarray,
+                         r: jnp.ndarray) -> jnp.ndarray:
+    """log f'(x) = log mean_i h'_{s_i}(y_i): (B,L,L)."""
+    y = wrap_pi(x - r)
+    return (jax.nn.logsumexp(tan_transform_logJ(y, s), axis=1)
+            - jnp.log(jnp.asarray(s.shape[1], x.dtype)))
+
+
+def _net_s_r_t(net_params, frozen, plaq, spec: FlowSpec):
+    """CNN -> (s (B,M,L,L), r (B,M,L,L), t (B,L,L)) for the rncp coupling.
+    s_clip bounds the log-slopes as for NCP; rotations are unconstrained
+    (periodic)."""
+    M = spec.n_mixture
+    x2 = frozen * plaq
+    compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
+    out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation,
+                         compute_dtype=compute_dtype)
+    s, r, t = out[:, :M], out[:, M:2 * M], out[:, 2 * M]
+    if spec.s_clip is not None:
+        c = spec.s_clip
+        s = c * jnp.tanh(s / c)
+    return s, r, t
+
+
+def rncp_plaq_coupling_forward(
+    net_params, plaq: jnp.ndarray, mu: int, off: int, spec: FlowSpec
+) -> CouplingOut:
+    shape = tuple(plaq.shape[-2:])
+    frozen, active, passive = (jnp.asarray(m, plaq.dtype)
+                               for m in plaq_masks(shape, mu, off))
+    s, r, t = _net_s_r_t(net_params, frozen, plaq, spec)
+
+    x1 = (active * plaq)[:, None]
+    local_logJ = active * rotated_mixture_logJ(x1, s, r)
+    logJ = jnp.sum(local_logJ, axis=(1, 2))
+    fx1 = rotated_mixture_transform(x1, s, r)
+    fx = active * wrap_pi(fx1 + t) + passive * plaq + frozen * plaq
+    return CouplingOut(fx, logJ)
+
+
+def rncp_plaq_coupling_reverse(
+    net_params, fplaq: jnp.ndarray, mu: int, off: int, spec: FlowSpec,
+    tol: float = 1e-6, max_iter: int = 1000,
+) -> CouplingOut:
+    """Bisection inverse of the rotated-mixture transform. f maps (-pi, pi]
+    onto an interval [f(-pi), f(-pi)+2pi); lift the target into that window
+    before bisecting (the plain-NCP transform fixes f(-pi) = -pi so the
+    reference never needed this)."""
+    shape = tuple(fplaq.shape[-2:])
+    frozen, active, passive = (jnp.asarray(m, fplaq.dtype)
+                               for m in plaq_masks(shape, mu, off))
+    s, r, t = _net_s_r_t(net_params, frozen, fplaq, spec)
+
+    y_t = wrap_pi(active * (fplaq - t))[:, None]         # (B,1,L,L)
+    f_lo = rotated_mixture_transform(
+        jnp.full_like(y_t, -PI + 1e-7), s, r)[:, None]
+    y_adj = f_lo + jnp.remainder(y_t - f_lo, TWO_PI)
+    transform = lambda x: rotated_mixture_transform(x, s, r)[:, None]
+    x1 = _bisect_invert_on(y_adj, transform, tol, max_iter)
+    local_logJ = active * rotated_mixture_logJ(x1, s, r)
+    logJ = -jnp.sum(local_logJ, axis=(1, 2))
+    x = active * x1[:, 0] + passive * fplaq + frozen * fplaq
+    return CouplingOut(x, logJ)
+
+
+def _bisect_invert_on(y, transform, tol: float, max_iter: int):
+    """_bisect_invert for transforms whose output interval is not centered:
+    identical bracketing on x in (-pi, pi), tolerance on |y - f(mid)|."""
+    return _bisect_invert(y, transform, tol, max_iter)
+
+
+# ---------------------------------------------------------------------------
 # Circular-spline plaquette coupling (higher-capacity alternative to NCP;
 # see models/spline.py. Same mask scheme, same CNN conditioner, analytic
 # inverse instead of bisection.)
@@ -241,6 +341,8 @@ def spline_plaq_coupling_reverse(
 def plaq_transform_forward(net_params, plaq, mu, off, spec: FlowSpec):
     if spec.coupling == "spline":
         return spline_plaq_coupling_forward(net_params, plaq, mu, off, spec)
+    if spec.coupling == "rncp":
+        return rncp_plaq_coupling_forward(net_params, plaq, mu, off, spec)
     return plaq_coupling_forward(net_params, plaq, mu, off, spec)
 
 
@@ -248,6 +350,9 @@ def plaq_transform_reverse(net_params, fplaq, mu, off, spec: FlowSpec,
                            tol: float = 1e-6, max_iter: int = 1000):
     if spec.coupling == "spline":
         return spline_plaq_coupling_reverse(net_params, fplaq, mu, off, spec)
+    if spec.coupling == "rncp":
+        return rncp_plaq_coupling_reverse(net_params, fplaq, mu, off, spec,
+                                          tol=tol, max_iter=max_iter)
     return plaq_coupling_reverse(net_params, fplaq, mu, off, spec,
                                  tol=tol, max_iter=max_iter)
 

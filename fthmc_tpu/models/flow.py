@@ -39,6 +39,8 @@ def flow_out_channels(spec: FlowSpec) -> int:
     if spec.coupling == "spline":
         from fthmc_tpu.models.spline import spline_out_channels
         return spline_out_channels(spec.n_knots)
+    if spec.coupling == "rncp":
+        return 2 * spec.n_mixture + 1   # s_i, r_i, t
     return spec.n_mixture + 1
 
 
