@@ -51,6 +51,9 @@ def main():
     p.add_argument("--activation", default="silu")
     p.add_argument("--s-clip", type=float, default=None)
     p.add_argument("--with-force", action="store_true")
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--sched", action="store_true",
+                   help="reduce-on-plateau LR schedule")
     p.add_argument("--integrator", default="leapfrog",
                    choices=["leapfrog", "omelyan"])
     p.add_argument("--batch", type=int, default=256)
@@ -77,7 +80,8 @@ def main():
                       base_lr=args.lr, flow=spec, seed=args.seed,
                       with_force=args.with_force,
                       beta_init=args.beta_init,
-                      beta_anneal_frac=args.anneal_frac)
+                      beta_anneal_frac=args.anneal_frac,
+                      grad_clip=args.grad_clip)
     state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     print(f"flow: {args.coupling} K={args.n_knots} layers={args.n_layers} "
           f"hidden={args.hidden} params={count_parameters(state.params)}",
@@ -94,7 +98,10 @@ def main():
                       f"ess={m['ess']:.4f} beta={m.get('beta', 0):.3f} "
                       f"plaq={m['plaq']:.4f}", flush=True)
 
-        state, hist = train(cfg, state, callback=cb)
+        from fthmc_tpu.config import SchedulerConfig
+        sched = (SchedulerConfig(factor=0.5, patience=30, cooldown=30)
+                 if args.sched else None)
+        state, hist = train(cfg, state, scheduler=sched, callback=cb)
         wall = time.time() - t0
         print(f"train wall {wall:.1f}s "
               f"({cfg.n_era * cfg.n_epoch / wall:.1f} steps/s)", flush=True)

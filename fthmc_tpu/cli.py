@@ -132,7 +132,8 @@ def cmd_train(args) -> dict:
                       base_lr=args.lr, flow=spec, seed=args.seed,
                       with_force=args.with_force,
                       beta_init=getattr(args, "beta_init", None),
-                      beta_anneal_frac=getattr(args, "anneal_frac", 0.7))
+                      beta_anneal_frac=getattr(args, "anneal_frac", 0.7),
+                      grad_clip=getattr(args, "grad_clip", None))
     outdir = args.outdir or cfg.logdir()
     ckptdir = os.path.join(outdir, "checkpoints")
     logger.rule(f"train flow {cfg.L}x{cfg.L} beta={cfg.beta} "
@@ -411,6 +412,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--with-force", action="store_true")
     sp.add_argument("--beta-init", type=float, default=None,
                     help="beta-annealed training: ramp beta from this value")
+    sp.add_argument("--grad-clip", type=float, default=None)
     sp.add_argument("--anneal-frac", type=float, default=0.7)
     sp.add_argument("--restore", action="store_true")
     sp.add_argument("--scheduler", action="store_true")

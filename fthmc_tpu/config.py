@@ -149,6 +149,9 @@ class TrainConfig:
                                     # reference counterpart; the continuation
                                     # trick that makes beta>=3 trainable)
     beta_anneal_frac: float = 0.7
+    grad_clip: float | None = None  # optax global-norm gradient clipping
+                                    # (stabilizes annealed high-capacity
+                                    # training; None = off)
     print_freq: int = 50
     plot_freq: int = 50
     log_freq: int = 50

@@ -167,8 +167,28 @@ def hmc_step(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
              integrator: str = "leapfrog"):
     """One batched HMC trajectory. x: (B, 2, L, L). Returns (x', q', metrics).
 
+    backend='fused' runs momentum refresh + trajectory + energy + Metropolis
+    as ONE Pallas kernel with in-kernel RNG (pltpu PRNG seeded from `key`;
+    streams differ from jax.random - validation is statistical). Other
+    backends split the trajectory (run_leapfrog) from XLA-side refresh and
+    accept.
+
     (reference qed_helpers.py:298-311, batched accept as in ft_hmc.py:246-249)
     """
+    if backend == "fused":
+        from fthmc_tpu.ops.pallas_lattice import pallas_hmc_traj
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        x_new, dh, acc = pallas_hmc_traj(x, seed, beta=beta, dt=dt,
+                                         nstep=nstep)
+        q_new = lattice.batch_charges(x_new)
+        metrics = TrajMetrics(
+            dh=dh, exp_mdh=jnp.exp(-dh), acc=acc,
+            plaq=lattice.batch_plaq_mean(x_new),
+            q=q_new, dq=jnp.abs(q_new - q_old),
+        )
+        return x_new, q_new, metrics
+
     kv, ka = jax.random.split(key)
     v0 = jax.random.normal(kv, x.shape, x.dtype)
 

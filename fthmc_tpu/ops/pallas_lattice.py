@@ -224,3 +224,171 @@ def pallas_leapfrog_cl(x: jnp.ndarray, v: jnp.ndarray, *, beta: float,
     vo = vo.transpose(1, 2, 3, 0, 4).reshape(2, L, L, B)
     return (jnp.transpose(xo, (3, 0, 1, 2)),
             jnp.transpose(vo, (3, 0, 1, 2)))
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused HMC trajectory: momentum refresh (in-kernel RNG), leapfrog,
+# energy accounting, and the Metropolis accept all inside one kernel.
+# HBM sees ONE read of x and ONE write of (x', dh, acc) per trajectory -
+# the lax.scan path additionally materializes v0 (RNG), wrap, the energy
+# reductions and the accept-select, ~3x the HBM traffic at nstep=10.
+# RNG: pltpu PRNG seeded per (seed, block); Box-Muller gaussians for the
+# refresh, 24-bit uniforms for the accept draw. Streams differ from
+# jax.random by construction - validation is statistical (BENCH.md).
+# ---------------------------------------------------------------------------
+
+_INV24 = float(2.0 ** -24)
+
+
+def _uniform_from_bits(bits):
+    """random bits -> (0, 1] uniforms with 24-bit resolution (never 0, so
+    log(u) is finite for Box-Muller). pltpu.prng_random_bits returns SIGNED
+    int32 on TPU - bitcast to uint32 first or the shift is arithmetic and
+    half the "uniforms" come out negative."""
+    masked = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF)) >> 7
+    return masked.astype(jnp.float32) * _INV24 + _INV24
+
+
+def _gaussians(shape):
+    """Standard normals via Box-Muller from the seeded in-kernel PRNG."""
+    u1 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * jnp.pi) * u2)
+
+
+def _wilson_cos(x):
+    """cos(plaquette phase) on a block (TB, 2, L, L) -> (TB, L, L)."""
+    x0 = x[:, 0]
+    x1 = x[:, 1]
+    p = (x0 + _roll(x1, -1, 1) - _roll(x0, -1, 2) - x1)
+    return jnp.cos(p)
+
+
+def _hmc_traj_kernel(seed_ref, x_ref, xo_ref, dh_ref, acc_ref,
+                     *, beta, dt, nstep):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], i)
+    x0 = x_ref[:]
+    TB = x0.shape[0]
+    v0 = _gaussians(x0.shape)
+    u2 = _uniform_from_bits(pltpu.prng_random_bits((TB, 128)))[:, 0:1]
+    x_new, dh2, acc2 = _hmc_traj_body(x0, v0, u2, beta=beta, dt=dt,
+                                      nstep=nstep)
+    xo_ref[:] = x_new
+    dh_ref[:] = dh2
+    acc_ref[:] = acc2.astype(x0.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beta", "dt", "nstep", "block",
+                                    "interpret"))
+def pallas_hmc_traj(x: jnp.ndarray, seed: jnp.ndarray, *, beta: float,
+                    dt: float, nstep: int, block: int | None = None,
+                    interpret: bool = False):
+    """One fully-fused batched HMC trajectory. x: (B, 2, L, L); seed: int32
+    scalar (one fresh value per trajectory). Returns (x_new, dh, acc)."""
+    B, two, L, _ = x.shape
+    assert two == 2
+    if block is None:
+        block = default_leapfrog_block(L, B)
+    block = min(block, B)
+    assert B % block == 0, (B, block)
+    grid = (B // block,)
+    xspec = pl.BlockSpec((block, 2, L, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    x_new, dh2, acc2 = pl.pallas_call(
+        functools.partial(_hmc_traj_kernel, beta=beta, dt=dt, nstep=nstep),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((B, 1), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1), x.dtype)),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), xspec],
+        out_specs=(xspec, cspec, cspec),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x)
+    return x_new, dh2[:, 0], acc2[:, 0]
+
+
+def _hmc_traj_body(x0, v0, u2, *, beta, dt, nstep):
+    """Shared trajectory + energy + Metropolis body (block arrays in VMEM).
+
+    u2: (TB, 1) accept uniforms. Everything per-chain stays 2D (TB, 1) -
+    Mosaic's vector layouts reject 1D intermediates and shape casts.
+    """
+    cos0 = _wilson_cos(x0)
+    x = x0 + (0.5 * dt) * v0
+    v = v0
+
+    def body(_, carry):
+        x, v = carry
+        v = v - dt * _force_of(x, beta)
+        x = x + dt * v
+        return (x, v)
+
+    x, v = jax.lax.fori_loop(0, nstep, body, (x, v))
+    x1 = x - (0.5 * dt) * v
+    v1 = v
+
+    # stepwise reductions ending in a keepdims -> (TB, 1): Mosaic rejects
+    # multi-axis keepdims + slice and any 1D intermediate
+    cdiff = _wilson_cos(x1) - cos0
+    dsw = jnp.sum(jnp.sum(cdiff, axis=2), axis=1, keepdims=True)  # (TB, 1)
+    kin = (v1 - v0) * (v1 + v0)
+    dk = jnp.sum(jnp.sum(jnp.sum(kin, axis=3), axis=2), axis=1,
+                 keepdims=True)                                   # (TB, 1)
+    dh2 = -beta * dsw + 0.5 * dk
+    acc2 = u2 < jnp.exp(-dh2)                                   # (TB, 1)
+    pi = jnp.float32(jnp.pi)
+    x1w = jnp.remainder(x1 + pi, 2.0 * pi) - pi
+    x_new = jnp.where(acc2[:, :, None, None], x1w, x0)
+    return x_new, dh2, acc2
+
+
+def _hmc_traj_hostrng_kernel(x_ref, v_ref, u_ref, xo_ref, dh_ref, acc_ref,
+                             *, beta, dt, nstep):
+    x_new, dh2, acc2 = _hmc_traj_body(x_ref[:], v_ref[:], u_ref[:],
+                                      beta=beta, dt=dt, nstep=nstep)
+    xo_ref[:] = x_new
+    dh_ref[:] = dh2
+    acc_ref[:] = acc2.astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beta", "dt", "nstep", "block",
+                                    "interpret"))
+def pallas_hmc_traj_hostrng(x: jnp.ndarray, v0: jnp.ndarray, u: jnp.ndarray,
+                            *, beta: float, dt: float, nstep: int,
+                            block: int | None = None,
+                            interpret: bool = False):
+    """Fused trajectory + energy + Metropolis with CALLER-supplied momentum
+    v0 and accept draws u (B,). Bitwise-comparable to hmc.hmc_step given the
+    same draws; also the interpret-mode test surface for the fused kernel
+    (in-kernel PRNG has no interpret lowering)."""
+    B, two, L, _ = x.shape
+    assert two == 2
+    if block is None:
+        block = default_leapfrog_block(L, B)
+    block = min(block, B)
+    assert B % block == 0, (B, block)
+    grid = (B // block,)
+    xspec = pl.BlockSpec((block, 2, L, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    x_new, dh2, acc2 = pl.pallas_call(
+        functools.partial(_hmc_traj_hostrng_kernel, beta=beta, dt=dt,
+                          nstep=nstep),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((B, 1), x.dtype),
+                   jax.ShapeDtypeStruct((B, 1), x.dtype)),
+        grid=grid,
+        in_specs=[xspec, xspec, cspec],
+        out_specs=(xspec, cspec, cspec),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(x, v0, u.reshape(B, 1))
+    return x_new, dh2[:, 0], acc2[:, 0]

@@ -258,7 +258,8 @@ def sharded_run_fthmc_chunked(mesh: Mesh, params, spec, lf, *, beta: float,
 def sharded_train_era(mesh: Mesh, state, spec, *, batch: int, L: int,
                       beta: float, dkl_factor: float = 1.0,
                       base_lr: float = 1e-3, n_epoch: int = 100,
-                      sched=None, betas=None, axis: str = "chains"):
+                      sched=None, betas=None, grad_clip: float | None = None,
+                      axis: str = "chains"):
     """One training era (n_epoch reverse-KL steps) data-parallel over the
     mesh: each device samples batch/n_dev configurations, gradients psum
     over ICI, the optimizer update is computed identically on every device
@@ -303,7 +304,7 @@ def sharded_train_era(mesh: Mesh, state, spec, *, batch: int, L: int,
             # are partial sums; psum completes them
             grads = jax.lax.psum(grads, axis)
 
-            opt = make_optimizer(base_lr)
+            opt = make_optimizer(base_lr, grad_clip)
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = (
                 base_lr * state.lr_scale)
