@@ -110,3 +110,41 @@ def test_run_hmc_rejection_keeps_state():
         [np.asarray(lattice.batch_charges(x0))[None], q[:-1]])
     frozen = acc == 0.0
     np.testing.assert_allclose(q[frozen], q_prev[frozen], atol=1e-4)
+
+
+def test_run_fthmc_thinned_summary_consistent():
+    """FT-HMC streaming driver (VERDICT r1 item 7): summary means over ALL
+    trajectories match the unthinned run; history is 1-per-thin."""
+    from fthmc_tpu.config import FlowSpec, LeapfrogConfig
+    from fthmc_tpu.hmc import run_fthmc, run_fthmc_thinned
+    from fthmc_tpu.models.flow import init_flow_params
+
+    spec = FlowSpec(n_layers=2, n_mixture=2, hidden_sizes=(4,))
+    params = init_flow_params(jax.random.PRNGKey(2), spec)
+    lf = LeapfrogConfig(tau=0.5, nstep=6)
+    z0 = jnp.zeros((8, 2, 8, 8), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    z, hist, summary = run_fthmc_thinned(params, spec, lf, beta=2.0,
+                                         ntraj=32, thin=8, z0=z0, key=key)
+    assert hist.plaq.shape == (4, 8)
+    for k in ("acc", "plaq", "exp_mdh", "abs_dh"):
+        assert np.isfinite(float(summary[k]))
+    z_full, hist_full = run_fthmc(params, spec, lf, beta=2.0, ntraj=32,
+                                  z0=z0, key=key)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_full), atol=1e-5)
+    np.testing.assert_allclose(
+        float(summary["plaq"]),
+        float(np.asarray(hist_full.plaq).mean()), rtol=1e-4)
+
+
+def test_run_hmc_nrun_independent_runs():
+    """nrun independent fresh-init runs (reference fthmc/hmc.py:95-110):
+    stacked (nrun, ntraj, B) history, distinct streams per run."""
+    from fthmc_tpu.hmc import run_hmc_nrun
+    cfg = HMCConfig(beta=2.0, L=8, tau=1.0, nstep=6, ntraj=8,
+                    n_chains=4, nrun=3, randinit=True, seed=2)
+    x, runs = run_hmc_nrun(cfg)
+    assert runs.plaq.shape == (3, 8, 4)
+    assert np.isfinite(np.asarray(runs.dh)).all()
+    # independent runs differ
+    assert np.abs(np.asarray(runs.plaq)[0] - np.asarray(runs.plaq)[1]).max() > 0

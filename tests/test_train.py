@@ -3,7 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fthmc_tpu.config import SchedulerConfig, TrainConfig
+from fthmc_tpu.config import FlowSpec, SchedulerConfig, TrainConfig
 from fthmc_tpu.train import (force_matching_step, init_train_state,
                              plateau_scheduler_update, train, train_step)
 
@@ -46,7 +46,9 @@ def test_force_matching_step_runs(spec2):
     state, metrics = force_matching_step(state, spec2, 4, cfg.L, cfg.beta,
                                          cfg.base_lr, 0.01)
     assert np.isfinite(float(metrics["loss_force"]))
-    assert int(state.step) == 1
+    # the force step does NOT own the step counter (the KL step does - one
+    # epoch = one step even with with_force on)
+    assert int(state.step) == 0
 
 
 def test_force_matching_with_distillation(spec2, params2, identity_params2):
@@ -88,3 +90,72 @@ def test_plateau_scheduler(spec2):
     state = plateau_scheduler_update(state, 0.5, sched, cfg.base_lr)
     assert float(state.best_loss) == 0.5
     assert int(state.plateau_count) == 0
+
+
+def test_resume_continues_era_numbering(tmp_path, spec2):
+    """VERDICT r1 item 9: restore-then-train must produce ckpt_era{k+1},
+    not restart at era 0."""
+    import os
+    from fthmc_tpu.checkpoint import (find_and_load_checkpoint,
+                                      save_checkpoint)
+    cfg = TrainConfig(L=8, beta=2.0, n_era=3, n_epoch=2, batch_size=4,
+                      flow=spec2, seed=0)
+    ckdir = str(tmp_path / "ck")
+    saved = []
+
+    def ckpt_fn(era, st, history):
+        saved.append(era)
+        save_checkpoint(ckdir, st, era=era, epoch=cfg.n_epoch,
+                        history=history)
+
+    # initial run: eras 0 and 1 only (interrupt by limiting n_era)
+    cfg01 = TrainConfig(L=8, beta=2.0, n_era=2, n_epoch=2, batch_size=4,
+                        flow=spec2, seed=0)
+    state, _ = train(cfg01, checkpoint_fn=ckpt_fn)
+    assert saved == [0, 1]
+
+    # resume: restore newest, continue from era meta+1 to n_era=3
+    state2 = init_train_state(jax.random.PRNGKey(0), cfg)
+    state2, meta = find_and_load_checkpoint(ckdir, state2)
+    assert meta["era"] == 1
+    state3, _ = train(cfg, state2, checkpoint_fn=ckpt_fn,
+                      start_era=meta["era"] + 1)
+    assert saved == [0, 1, 2]
+    assert int(state3.step) == 6  # 3 eras x 2 epochs total
+
+
+def test_annealed_training_beta_schedule(spec2):
+    cfg = TrainConfig(L=8, beta=2.5, beta_init=2.0, beta_anneal_frac=0.5,
+                      n_era=2, n_epoch=4, batch_size=4, flow=spec2, seed=0)
+    state, hist = train(cfg)
+    betas = np.asarray(hist["beta"])
+    assert abs(betas[0] - 2.0) < 1e-6
+    assert abs(betas[-1] - 2.5) < 1e-6
+    assert np.all(np.diff(betas) >= -1e-6)
+
+
+def test_grad_clip_trains(spec2):
+    cfg = TrainConfig(L=8, beta=2.0, n_era=1, n_epoch=3, batch_size=4,
+                      flow=spec2, seed=0, grad_clip=1.0)
+    state, hist = train(cfg)
+    assert np.isfinite(hist["loss_dkl"]).all()
+
+
+def test_scheduler_cooldown_device():
+    """After an LR reduction the counter restarts at -cooldown: no second
+    reduction can fire within cooldown epochs."""
+    from fthmc_tpu.train import _plateau_update_device
+    sched = SchedulerConfig(factor=0.5, patience=1, cooldown=3)
+    state = init_train_state(
+        jax.random.PRNGKey(0),
+        TrainConfig(L=8, flow=FlowSpec(n_layers=1, hidden_sizes=(2,))))
+    state = state._replace(best_loss=jnp.asarray(0.0, jnp.float32))
+    scales = []
+    for _ in range(8):  # constant (never-improving) loss
+        state = _plateau_update_device(state, jnp.asarray(1.0), sched, 1e-3)
+        scales.append(float(state.lr_scale))
+    # first fire after patience+1 bad epochs; next fire >= cooldown later
+    fires = [i for i in range(1, len(scales)) if scales[i] < scales[i - 1]]
+    assert len(fires) >= 1
+    if len(fires) > 1:
+        assert fires[1] - fires[0] >= sched.cooldown
