@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Resilient long FT-HMC production run for tau_int(Q) (16^2, beta >= 3).
+
+The remote TPU worker dies on single executions longer than ~5 minutes
+(round-1 infra note). This driver runs SMALL compiled blocks (~1-2 min of
+device time), persists (z, q history) after every block, and retries a
+block on worker errors - the chain resumes from the last good state, so a
+crash costs one block, not the run.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from fthmc_tpu import lattice
+from fthmc_tpu.checkpoint import find_and_load_checkpoint
+from fthmc_tpu.config import FlowSpec, LeapfrogConfig, TrainConfig
+from fthmc_tpu.hmc import run_fthmc
+from fthmc_tpu.observables import tau_int
+from fthmc_tpu.train import init_train_state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="runs/b3_rncp8_t8_stable/checkpoints")
+    p.add_argument("--out", default="runs/tauint_b3")
+    p.add_argument("--L", type=int, default=16)
+    p.add_argument("--beta", type=float, default=3.0)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--nstep", type=int, default=256)
+    p.add_argument("--integrator", default="omelyan")
+    p.add_argument("--chains", type=int, default=64)
+    p.add_argument("--ntraj", type=int, default=768)
+    p.add_argument("--block", type=int, default=16)
+    p.add_argument("--therm-frac", type=float, default=0.25)
+    p.add_argument("--n-layers", type=int, default=24)
+    p.add_argument("--n-mixture", type=int, default=8)
+    p.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
+    p.add_argument("--s-clip", type=float, default=3.0)
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    spec = FlowSpec(n_layers=args.n_layers, coupling="rncp",
+                    n_mixture=args.n_mixture, hidden_sizes=tuple(args.hidden),
+                    s_clip=args.s_clip)
+    cfg = TrainConfig(L=8, beta=args.beta, flow=spec, grad_clip=1.0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    state, meta = find_and_load_checkpoint(args.ckpt, state)
+    print("flow restored:", meta, flush=True)
+    params = state.params
+
+    lf = LeapfrogConfig(tau=args.tau, nstep=args.nstep)
+    key = jax.random.PRNGKey(4242)
+    state_path = os.path.join(args.out, "run_state.npz")
+    if os.path.exists(state_path):
+        data = np.load(state_path)
+        z = jax.numpy.asarray(data["z"])
+        hist = {k: list(data[k]) for k in ("acc", "plaq", "exp_mdh", "q")}
+        done = int(data["done"])
+        key = jax.numpy.asarray(data["key"])
+        print(f"resuming at traj {done}", flush=True)
+    else:
+        z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
+        hist = {"acc": [], "plaq": [], "exp_mdh": [], "q": []}
+        done = 0
+
+    t0 = time.time()
+    while done < args.ntraj:
+        n = min(args.block, args.ntraj - done)
+        key, krun = jax.random.split(key)
+        try:
+            z_new, h = run_fthmc(params, spec, lf, beta=args.beta, ntraj=n,
+                                 z0=z, key=krun,
+                                 integrator=args.integrator)
+            jax.block_until_ready(z_new)
+        except Exception as e:  # worker crash: wait, retry same block
+            print(f"  block at {done} failed ({str(e)[:80]}); retrying "
+                  "in 30 s", flush=True)
+            time.sleep(30)
+            continue
+        z = z_new
+        for k in hist:
+            hist[k].extend(np.asarray(getattr(h, k)))
+        done += n
+        np.savez_compressed(
+            state_path, z=np.asarray(z), done=done, key=np.asarray(key),
+            **{k: np.asarray(v) for k, v in hist.items()})
+        if done % (4 * args.block) == 0 or done == args.ntraj:
+            acc = np.asarray(hist["acc"])[-4 * args.block:].mean()
+            print(f"  traj {done}/{args.ntraj}: acc={acc:.3f} "
+                  f"({(time.time() - t0) / max(done, 1):.2f} s/traj)",
+                  flush=True)
+
+    therm = int(args.ntraj * args.therm_frac)
+    q = np.asarray(hist["q"])[therm:]
+    res = {
+        "config": vars(args),
+        "acc": float(np.asarray(hist["acc"])[therm:].mean()),
+        "exp_mdh": float(np.asarray(hist["exp_mdh"])[therm:].mean()),
+        "plaq": float(np.asarray(hist["plaq"])[therm:].mean()),
+        "tau_int_q": float(np.mean([tau_int(q[:, c])
+                                    for c in range(q.shape[1])])),
+        "chi_q": float(np.mean(q ** 2)),
+        "wall_s": time.time() - t0,
+    }
+    print("FT-HMC:", json.dumps(res, indent=1, default=str), flush=True)
+    with open(os.path.join(args.out, "fthmc_results.json"), "w") as f:
+        json.dump(res, f, indent=2, default=str)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,9 +124,10 @@ def main():
         lf = LeapfrogConfig(tau=args.tau, nstep=nstep)
         key, krun = jax.random.split(key)
         t0 = time.time()
-        z, h = run_fthmc(state.params, spec, lf, beta=args.beta,
-                         ntraj=args.eval_ntraj, z0=z0, key=krun,
-                         integrator=args.integrator)
+        # chunked: single device executions > ~3 min kill the remote worker
+        z, h = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
+                                 ntraj=args.eval_ntraj, z0=z0, key=krun,
+                                 block=16, integrator=args.integrator)
         jax.block_until_ready(z)
         wall = time.time() - t0
         t = args.eval_ntraj // 4

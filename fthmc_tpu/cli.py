@@ -90,8 +90,19 @@ def cmd_hmc(args) -> dict:
             _np.concatenate(list(_np.asarray(getattr(runs, f))), axis=1)
             for f in runs._fields])
     else:
-        x, hist = run_hmc(cfg, integrator=getattr(args, "integrator",
-                                                  "leapfrog"))
+        from fthmc_tpu.hmc import run_hmc_chunked
+
+        def _cb(done, block):
+            logger.print_metrics(
+                {"acc": np.asarray(block.acc).mean(),
+                 "plaq": np.asarray(block.plaq)[-64:].mean()},
+                pre=[f"traj={done}"])
+
+        # print cadence = cfg.nprint trajectories (reference run_hmc's
+        # nprint, fthmc/hmc.py)
+        x, hist = run_hmc_chunked(
+            cfg, block=min(cfg.ntraj, cfg.nprint), callback=_cb,
+            integrator=getattr(args, "integrator", "leapfrog"))
     jax.block_until_ready(x)
     dt = time.time() - t0
     stats = _summarize_hmc(hist)

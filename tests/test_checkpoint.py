@@ -29,7 +29,9 @@ def test_checkpoint_roundtrip(tmp_path, spec2):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
-    hist = load_history(os.path.join(path, "history.npz"))
+    # history rides as a SIDECAR next to the orbax dir (orbax owns its
+    # directory contents; foreign files inside it are not upgrade-safe)
+    hist = load_history(path + ".history.npz")
     np.testing.assert_allclose(hist["loss"], [1.0, 0.5])
 
 
