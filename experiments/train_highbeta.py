@@ -67,6 +67,11 @@ def main():
     p.add_argument("--tau", type=float, default=1.0)
     p.add_argument("--nsteps", type=int, nargs="+", default=[32, 64, 128])
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--init-ckpt", default=None,
+                   help="warm-start: load flow params from this checkpoint "
+                        "dir (spec must match) before training. Round-2 "
+                        "staged-anneal recipe: init from the beta=3 flagship "
+                        "flow and anneal 3 -> 5 instead of 2 -> 5 cold.")
     args = p.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -83,6 +88,12 @@ def main():
                       beta_anneal_frac=args.anneal_frac,
                       grad_clip=args.grad_clip)
     state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
+    if args.init_ckpt:
+        from fthmc_tpu.checkpoint import load_checkpoint
+        loaded, meta = load_checkpoint(args.init_ckpt, state)
+        # keep the fresh optimizer state (new lr / schedule), take params
+        state = state._replace(params=loaded.params)
+        print(f"warm-start from {args.init_ckpt} (meta={meta})", flush=True)
     print(f"flow: {args.coupling} K={args.n_knots} layers={args.n_layers} "
           f"hidden={args.hidden} params={count_parameters(state.params)}",
           flush=True)

@@ -267,7 +267,9 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
                                     ntraj=args.ntraj, z0=z0, key=key,
                                     block=min(args.ntraj, 1024), callback=cb,
                                     integrator=getattr(args, "integrator",
-                                                       "leapfrog"))
+                                                       "leapfrog"),
+                                    force_backend=getattr(
+                                        args, "force_backend", "auto"))
     jax.block_until_ready(z)
     dt = time.time() - t0
     if tb is not None:
@@ -450,6 +452,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tensorboard", action="store_true")
     sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
                     default="leapfrog")
+    sp.add_argument("--force-backend", choices=["auto", "xla", "pallas"],
+                    default="auto", dest="force_backend",
+                    help="FT-HMC force: XLA autodiff or the fused Pallas "
+                         "VJP kernels (ops/pallas_coupling_vjp.py)")
     sp.set_defaults(fn=cmd_fthmc)
 
     sp = sub.add_parser("pipeline")

@@ -42,7 +42,7 @@ TWO_PI = 2.0 * math.pi
 __all__ = ["leapfrog", "omelyan", "hmc_step", "run_hmc", "run_hmc_chunked",
            "run_hmc_thinned", "run_hmc_nrun", "ft_action", "ft_force",
            "fthmc_step", "run_fthmc", "run_fthmc_chunked",
-           "run_fthmc_thinned", "TrajMetrics"]
+           "run_fthmc_thinned", "resolve_force_backend", "TrajMetrics"]
 
 
 class TrajMetrics(NamedTuple):
@@ -366,21 +366,48 @@ def ft_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
     )(z)
 
 
+def resolve_force_backend(force_backend: str, spec: FlowSpec, z_shape,
+                          dtype) -> str:
+    """'auto' -> 'pallas' (fused per-layer VJP kernels,
+    ops/pallas_coupling_vjp.py) when on TPU in fp32 with a coupling family /
+    width the kernels support and the chain count maps onto whole lanes;
+    'xla' otherwise."""
+    if force_backend != "auto":
+        return force_backend
+    if jax.default_backend() == "cpu" or dtype != jnp.float32:
+        return "xla"
+    from fthmc_tpu.ops.pallas_coupling_vjp import vjp_kernel_fits
+    B, _, L, _ = z_shape
+    if not (B <= 128 or B % 128 == 0):
+        return "xla"
+    return "pallas" if vjp_kernel_fits(spec, L, B) else "xla"
+
+
 def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
                q_old: jnp.ndarray, beta: float, dt: float, nstep: int,
-               remat="auto", integrator: str = "leapfrog"):
+               remat="auto", integrator: str = "leapfrog",
+               force_backend: str = "auto"):
     """One batched FT-HMC trajectory in latent space z: (B, 2, L, L).
 
     Returns (z', y_phys', q', metrics). The chain state stays latent
     throughout the run (reference FieldTransformation.run, ft_hmc.py:272-346);
     observables are measured on the physical field y = f(z).
+
+    force_backend: 'auto' | 'xla' | 'pallas' - the integrator's force
+    evaluations (the hot loop) via XLA autodiff or the fused Pallas VJP
+    kernels (ops/pallas_coupling_vjp.py). Energies always use the XLA flow.
     """
     remat = resolve_remat(remat, z.shape)
     kv, ka = jax.random.split(key)
     v0 = jax.random.normal(kv, z.shape, z.dtype)
 
     y0, logdet0 = flow_forward(params, z, spec, remat=remat)
-    force_fn = lambda zz: ft_force(params, spec, zz, beta, remat=remat)
+    if resolve_force_backend(force_backend, spec, z.shape,
+                             z.dtype) == "pallas":
+        from fthmc_tpu.ops.pallas_coupling_vjp import ft_force_pallas
+        force_fn = lambda zz: ft_force_pallas(params, spec, zz, beta)
+    else:
+        force_fn = lambda zz: ft_force(params, spec, zz, beta, remat=remat)
     integ = omelyan if integrator == "omelyan" else leapfrog
     z1, v1 = integ(z, v0, dt, nstep, force_fn)
     z1 = lattice.wrap(z1)
@@ -410,9 +437,9 @@ def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("spec", "beta", "dt", "nstep", "ntraj",
-                                   "remat", "integrator"))
+                                   "remat", "integrator", "force_backend"))
 def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat,
-                    integrator="leapfrog"):
+                    integrator="leapfrog", force_backend="auto"):
     remat = resolve_remat(remat, z0.shape)
     y0, _ = flow_forward(params, z0, spec, remat=remat)
     q0 = lattice.batch_charges(y0)
@@ -420,7 +447,8 @@ def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat,
     def body(carry, key):
         z, q = carry
         z, _, q, m = fthmc_step(params, spec, key, z, q, beta, dt, nstep,
-                                remat=remat, integrator=integrator)
+                                remat=remat, integrator=integrator,
+                                force_backend=force_backend)
         return (z, q), m
 
     keys = jax.random.split(key, ntraj)
@@ -430,17 +458,20 @@ def _run_fthmc_scan(params, spec, key, z0, beta, dt, nstep, ntraj, remat,
 
 def run_fthmc(params, spec: FlowSpec, lf: LeapfrogConfig, *, beta: float,
               ntraj: int, z0: jnp.ndarray, key: jax.Array,
-              remat="auto", integrator: str = "leapfrog"):
+              remat="auto", integrator: str = "leapfrog",
+              force_backend: str = "auto"):
     """Run ntraj batched FT-HMC trajectories as one compiled program.
     Returns (z_final, TrajMetrics history (ntraj, B))."""
     return _run_fthmc_scan(params, spec, key, z0, beta, lf.dt, lf.nstep,
-                           ntraj, remat, integrator)
+                           ntraj, remat, integrator, force_backend)
 
 
 @partial(jax.jit, static_argnames=("spec", "beta", "dt", "nstep", "nblocks",
-                                   "thin", "remat", "integrator"))
+                                   "thin", "remat", "integrator",
+                                   "force_backend"))
 def _run_fthmc_scan_thinned(params, spec, key, z0, beta, dt, nstep, nblocks,
-                            thin, remat="auto", integrator="leapfrog"):
+                            thin, remat="auto", integrator="leapfrog",
+                            force_backend="auto"):
     """FT-HMC analogue of _run_hmc_scan_thinned: nblocks x thin trajectories,
     metrics recorded once per block, exact running means over everything.
     Keeps 100k-trajectory tau_int production runs at O(ntraj/thin) history
@@ -454,7 +485,8 @@ def _run_fthmc_scan_thinned(params, spec, key, z0, beta, dt, nstep, nblocks,
     def inner(carry, key):
         z, q, sums = carry
         z, _, q, m = fthmc_step(params, spec, key, z, q, beta, dt, nstep,
-                                remat=remat, integrator=integrator)
+                                remat=remat, integrator=integrator,
+                                force_backend=force_backend)
         sums = {
             "acc": sums["acc"] + jnp.mean(m.acc),
             "plaq": sums["plaq"] + jnp.mean(m.plaq),
@@ -478,14 +510,15 @@ def _run_fthmc_scan_thinned(params, spec, key, z0, beta, dt, nstep, nblocks,
 def run_fthmc_thinned(params, spec: FlowSpec, lf: LeapfrogConfig, *,
                       beta: float, ntraj: int, thin: int, z0: jnp.ndarray,
                       key: jax.Array, remat="auto",
-                      integrator: str = "leapfrog"):
+                      integrator: str = "leapfrog",
+                      force_backend: str = "auto"):
     """run_fthmc for very long runs: history has one TrajMetrics entry per
     `thin` trajectories plus a summary dict of exact running means (acc,
     plaq, exp_mdh, |dh|) over ALL trajectories. ntraj % thin == 0."""
     assert ntraj % thin == 0, (ntraj, thin)
     return _run_fthmc_scan_thinned(params, spec, key, z0, beta, lf.dt,
                                    lf.nstep, ntraj // thin, thin, remat,
-                                   integrator)
+                                   integrator, force_backend)
 
 
 def _concat_metrics(blocks: list[TrajMetrics]) -> TrajMetrics:
@@ -525,7 +558,8 @@ def run_hmc_chunked(cfg: HMCConfig, *, block: int = 1024,
 def run_fthmc_chunked(params, spec: FlowSpec, lf: LeapfrogConfig, *,
                       beta: float, ntraj: int, z0: jnp.ndarray,
                       key: jax.Array, block: int = 1024, callback=None,
-                      remat="auto", integrator: str = "leapfrog"):
+                      remat="auto", integrator: str = "leapfrog",
+                      force_backend: str = "auto"):
     """Chunked FT-HMC driver (see run_hmc_chunked). Returns
     (z_final, TrajMetrics as host numpy arrays)."""
     blocks = []
@@ -535,7 +569,8 @@ def run_fthmc_chunked(params, spec: FlowSpec, lf: LeapfrogConfig, *,
         n = min(block, ntraj - done)
         key, krun = jax.random.split(key)
         z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=n, z0=z,
-                            key=krun, remat=remat, integrator=integrator)
+                            key=krun, remat=remat, integrator=integrator,
+                            force_backend=force_backend)
         jax.block_until_ready(z)
         blocks.append(hist)
         done += n

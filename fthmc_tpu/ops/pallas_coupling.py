@@ -46,6 +46,43 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
+def _atan(u):
+    """Elementwise arctan via two half-angle reductions + odd Taylor/Horner.
+
+    Mosaic has no atan/atan2 lowering (NotImplementedError on real TPU -
+    found in round 2; interpret mode silently accepted arctan2), so the
+    kernels compute it explicitly. Two reductions map |u| <= 1 onto
+    [0, 0.199], where the degree-13 odd polynomial truncation error is
+    ~2.6e-11 - exact at fp32 and ~1e-11 at fp64 (validated in
+    tests/test_pallas_vjp.py). |u| > 1 folds via atan(u) = pi/2 - atan(1/u);
+    u = +-inf is handled (1/inf = 0 -> +-pi/2)."""
+    au = jnp.abs(u)
+    inv = au > 1.0
+    v = jnp.where(inv, 1.0 / au, au)
+    v = v / (1.0 + jnp.sqrt(1.0 + v * v))       # [0, 1]    -> [0, 0.4142]
+    v = v / (1.0 + jnp.sqrt(1.0 + v * v))       # -> [0, 0.1989]
+    t = v * v
+    poly = v * (1.0 + t * (-1.0 / 3.0 + t * (0.2 + t * (-1.0 / 7.0
+               + t * (1.0 / 9.0 + t * (-1.0 / 11.0 + t * (1.0 / 13.0)))))))
+    a = 4.0 * poly                               # undo the two reductions
+    a = jnp.where(inv, 0.5 * PI - a, a)
+    return jnp.sign(u) * a
+
+
+def tan_transform_delta(y, e):
+    """delta(y) = h_s(y) - y for the NCP tan transform h_s = 2 atan(e^s
+    tan(y/2)), atan2-free: tan(delta/2) = (e-1) sin(y/2)cos(y/2) /
+    (cos^2(y/2) + e sin^2(y/2)), whose denominator is > 0 for all y and
+    e = e^s > 0 (no division-by-zero edge cases, no quadrant logic: both
+    h_s(y) and y lie in (-pi, pi] with the same sign, so |delta| < pi).
+    Returns delta; callers form h = y + delta (== the wrapped 2*atan2
+    value exactly)."""
+    cy, sy = jnp.cos(0.5 * y), jnp.sin(0.5 * y)
+    num = (e - 1.0) * sy * cy
+    den = cy * cy + e * (sy * sy)
+    return 2.0 * _atan(num / den)
+
+
 def _roll2(a, s0, s1):
     """Circular shift of (L, L, TB) on the two lattice axes."""
     if s0:
@@ -135,13 +172,11 @@ def _ncp_kernel(x_ref, masks_ref, *wb_and_out, spec: FlowSpec,
         else:
             y = xa
         sc = jnp.clip(s, -30.0, 30.0)
-        hy = 2.0 * jnp.arctan2(jnp.exp(sc) * jnp.sin(0.5 * y),
-                               jnp.cos(0.5 * y))
-        hy = jnp.remainder(hy + PI, TWO_PI) - PI
+        dlt = tan_transform_delta(y, jnp.exp(sc))
         if r_list is not None:
-            hsum = hsum + (hy - y)
+            hsum = hsum + dlt
         else:
-            hsum = hsum + hy
+            hsum = hsum + (y + dlt)
         cy, sy = jnp.cos(0.5 * y), jnp.sin(0.5 * y)
         m_abs = jnp.abs(s)
         inner = (jnp.exp(-s - m_abs) * cy * cy
@@ -159,7 +194,10 @@ def _ncp_kernel(x_ref, masks_ref, *wb_and_out, spec: FlowSpec,
     for i in range(M):
         se = se + jnp.exp(ljs[i] - mx)
     local_logj = active * (mx + jnp.log(se) - jnp.log(float(M)))
-    logj = jnp.sum(jnp.sum(local_logj, axis=1), axis=0, keepdims=True)
+    # sublane-merging reshape: the sum(sum(keepdims)) form trips a Mosaic
+    # relayout bug on real TPU (see pallas_coupling_vjp._fwd_res_kernel)
+    logj = jnp.sum(local_logj.reshape(-1, local_logj.shape[-1]), axis=0,
+                   keepdims=True)
 
     new_plaq = (active * (jnp.remainder(fx1 + t + PI, TWO_PI) - PI)
                 + (passive + frozen) * plaq)
