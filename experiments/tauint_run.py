@@ -51,7 +51,11 @@ def main():
                     s_clip=args.s_clip)
     cfg = TrainConfig(L=8, beta=args.beta, flow=spec, grad_clip=1.0)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
-    state, meta = find_and_load_checkpoint(args.ckpt, state)
+    found = find_and_load_checkpoint(args.ckpt, state)
+    if found is None:       # args.ckpt IS a checkpoint dir (e.g. artifacts/)
+        from fthmc_tpu.checkpoint import load_checkpoint
+        found = load_checkpoint(args.ckpt, state)
+    state, meta = found
     print("flow restored:", meta, flush=True)
     params = state.params
 

@@ -103,6 +103,44 @@ def bench_fthmc_leapfrog(L: int = 8, chains: int = 1024, beta: float = 2.0,
     }
 
 
+def bench_fthmc_force_backends(L: int = 16, chains: int = 128,
+                               beta: float = 2.0, n_layers: int = 16,
+                               n_mixture: int = 6,
+                               hidden=(8, 8), coupling: str = "rncp",
+                               reps: int = 30) -> dict:
+    """A/B the FT-HMC force: XLA autodiff vs the fused Pallas VJP kernels
+    (ops/pallas_coupling_vjp.py). Chains the state between repeats so the
+    remote-execution dedup cannot return cached results."""
+    from fthmc_tpu.hmc import ft_force
+    from fthmc_tpu.ops.pallas_coupling_vjp import ft_force_pallas
+    spec = FlowSpec(n_layers=n_layers, n_mixture=n_mixture,
+                    hidden_sizes=tuple(hidden), coupling=coupling,
+                    s_clip=3.0)
+    params = init_flow_params(jax.random.PRNGKey(0), spec)
+    z = lattice.hot_start(jax.random.PRNGKey(1), chains, L)
+
+    def timed(fn):
+        zz = z
+        _sync(fn(params, spec, zz, beta))            # compile
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = fn(params, spec, zz, beta)
+            zz = zz + 1e-6 * out                     # defeat dedup
+        _sync(zz)
+        return (time.perf_counter() - t0) / reps
+
+    tx = timed(ft_force)
+    tp = timed(ft_force_pallas)
+    return {
+        "metric": f"fthmc_force_ms_L{L}_layers{n_layers}",
+        "xla_ms": tx * 1e3, "pallas_ms": tp * 1e3,
+        "speedup": tx / tp,
+        "config": {"L": L, "chains": chains, "n_layers": n_layers,
+                   "hidden": tuple(hidden), "n_mixture": n_mixture,
+                   "coupling": coupling},
+    }
+
+
 def bench_train(L: int = 8, batch: int = 64, beta: float = 2.0,
                 n_layers: int = 16, steps: int = 100) -> dict:
     """Reverse-KL training steps/sec via the era-scan path (reference:
