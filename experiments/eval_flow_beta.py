@@ -59,6 +59,10 @@ def main():
     p.add_argument("--hmc-chains", type=int, default=128)
     p.add_argument("--acc-floor", type=float, default=0.35)
     p.add_argument("--force-backend", default="auto")
+    p.add_argument("--block", type=int, default=16,
+                   help="trajectories per compiled device execution (the "
+                        "remote worker dies on executions > ~5 min; shrink "
+                        "for large L)")
     p.add_argument("--grad-clip", type=float, default=1.0,
                    help="must match the artifact's training config so the "
                         "checkpoint's opt_state tree structure restores")
@@ -90,7 +94,7 @@ def main():
         t0 = time.time()
         z, h = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
                                  ntraj=args.eval_ntraj, z0=z0, key=krun,
-                                 block=16, integrator=args.integrator,
+                                 block=args.block, integrator=args.integrator,
                                  force_backend=args.force_backend)
         jax.block_until_ready(z)
         wall = time.time() - t0
@@ -113,7 +117,8 @@ def main():
         lf = LeapfrogConfig(tau=args.tau, nstep=best)
         key, k1, k2 = jax.random.split(key, 3)
         z, h = run_fthmc_chunked(state.params, spec, lf, beta=args.beta,
-                                 ntraj=ntraj, z0=z0, key=k1, block=256,
+                                 ntraj=ntraj, z0=z0, key=k1,
+                                 block=max(args.block, 16),
                                  integrator=args.integrator,
                                  force_backend=args.force_backend)
         q_ft = np.asarray(h.q)[ntraj // 4:]
