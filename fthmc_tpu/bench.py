@@ -78,20 +78,24 @@ def bench_hmc_leapfrog(L: int = 64, chains: int = 1024, beta: float = 6.0,
 
 def bench_fthmc_leapfrog(L: int = 8, chains: int = 1024, beta: float = 2.0,
                          n_layers: int = 16, nstep: int = 64,
-                         ntraj: int = 4, repeats: int = 3) -> dict:
-    """FT-HMC leapfrog chain-steps/sec (force = VJP through the flow)."""
+                         ntraj: int = 4, repeats: int = 3,
+                         force_backend: str = "xla") -> dict:
+    """FT-HMC leapfrog chain-steps/sec (force = VJP through the flow:
+    XLA autodiff or the fused Pallas kernels, per force_backend)."""
     spec = FlowSpec(n_layers=n_layers, n_mixture=2, hidden_sizes=(8, 8))
     params = init_flow_params(jax.random.PRNGKey(0), spec)
     lf = LeapfrogConfig(tau=1.0, nstep=nstep)
     z0 = lattice.hot_start(jax.random.PRNGKey(1), chains, L)
     z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=ntraj, z0=z0,
-                        key=jax.random.PRNGKey(2))
+                        key=jax.random.PRNGKey(2),
+                        force_backend=force_backend)
     _sync(z)
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         z, hist = run_fthmc(params, spec, lf, beta=beta, ntraj=ntraj,
-                            z0=z, key=jax.random.PRNGKey(3 + i))
+                            z0=z, key=jax.random.PRNGKey(3 + i),
+                            force_backend=force_backend)
         _sync(z)
         times.append(time.perf_counter() - t0)
     val = chains * ntraj * nstep / float(np.median(times))
@@ -99,6 +103,7 @@ def bench_fthmc_leapfrog(L: int = 8, chains: int = 1024, beta: float = 2.0,
         "metric": f"fthmc_leapfrog_chain_steps_per_sec_L{L}",
         "value": val,
         "unit": "chain-steps/s/chip",
+        "force_backend": force_backend,
         "vs_baseline": val / BASELINE_FT_LEAPFROG_8,
     }
 
