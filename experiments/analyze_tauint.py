@@ -32,11 +32,13 @@ def chain_stats(q: np.ndarray, n_boot: int = 400, seed: int = 0):
     idx = rng.integers(0, nchain, size=(n_boot, nchain))
     ti_b = ti[idx].mean(axis=1)
     chi_b = chi[idx].mean(axis=1)
+    dq2 = np.mean((q[1:] - q[:-1]) ** 2)   # topological mobility at dt=1
     return {
         "tau_int_q": float(ti.mean()),
         "tau_int_q_err": float(ti_b.std(ddof=1)),
         "chi_q": float(chi.mean()),
         "chi_q_err": float(chi_b.std(ddof=1)),
+        "q_mobility_dt1": float(dq2),      # windowing-free cross-check
         "n_chains": int(nchain),
         "ntraj_used": int(q.shape[0]),
     }

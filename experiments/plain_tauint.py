@@ -15,7 +15,6 @@ import numpy as np
 
 from fthmc_tpu.config import HMCConfig
 from fthmc_tpu.hmc import run_hmc_chunked
-from fthmc_tpu.observables import tau_int
 
 
 def main():
@@ -40,16 +39,16 @@ def main():
     jax.block_until_ready(x)
     therm = int(args.ntraj * args.therm_frac)
     q = np.asarray(h.q)[therm:]
+    from analyze_tauint import chain_stats
     res = {
         "config": vars(args),
         "acc": float(np.asarray(h.acc)[therm:].mean()),
         "plaq": float(np.asarray(h.plaq)[therm:].mean()),
         "exp_mdh": float(np.asarray(h.exp_mdh)[therm:].mean()),
-        "tau_int_q": float(np.mean([tau_int(q[:, c])
-                                    for c in range(q.shape[1])])),
-        "chi_q": float(np.mean(q ** 2)),
         "wall_s": time.time() - t0,
+        **chain_stats(q),
     }
+    np.savez_compressed(os.path.join(args.out, "hmc_q.npz"), q=q)
     print("plain HMC:", json.dumps(res, indent=1, default=str), flush=True)
     with open(os.path.join(args.out, "hmc_results.json"), "w") as f:
         json.dump(res, f, indent=2, default=str)
