@@ -105,11 +105,18 @@ class FieldTransformation:
     spec: FlowSpec
     beta: float
     lf: LeapfrogConfig
+    force_backend: str = "auto"   # 'auto' | 'xla' | 'pallas' (fused VJP
+                                  # kernels, ops/pallas_coupling_vjp.py)
 
     def action(self, z: jnp.ndarray) -> jnp.ndarray:
         return ft_action(self.params, self.spec, z, self.beta)
 
     def force(self, z: jnp.ndarray) -> jnp.ndarray:
+        from fthmc_tpu.hmc import resolve_force_backend
+        if resolve_force_backend(self.force_backend, self.spec, z.shape,
+                                 z.dtype) == "pallas":
+            from fthmc_tpu.ops.pallas_coupling_vjp import ft_force_pallas
+            return ft_force_pallas(self.params, self.spec, z, self.beta)
         return ft_force(self.params, self.spec, z, self.beta)
 
     def flow_forward(self, z: jnp.ndarray):
@@ -123,11 +130,13 @@ class FieldTransformation:
             y, _ = self.flow_forward(z)
             q_old = lattice.batch_charges(y)
         return fthmc_step(self.params, self.spec, key, z, q_old, self.beta,
-                          self.lf.dt, self.lf.nstep)
+                          self.lf.dt, self.lf.nstep,
+                          force_backend=self.force_backend)
 
     def run(self, key: jax.Array, z0: jnp.ndarray, num_trajs: int = 1024):
         return run_fthmc(self.params, self.spec, self.lf, beta=self.beta,
-                         ntraj=num_trajs, z0=z0, key=key)
+                         ntraj=num_trajs, z0=z0, key=key,
+                         force_backend=self.force_backend)
 
     def initializer(self, key: jax.Array, n_chains: int, L: int,
                     rand: bool = True) -> jnp.ndarray:
