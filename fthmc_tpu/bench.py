@@ -124,6 +124,10 @@ def bench_fthmc_force_backends(L: int = 16, chains: int = 128,
     params = init_flow_params(jax.random.PRNGKey(0), spec)
     z = lattice.hot_start(jax.random.PRNGKey(1), chains, L)
 
+    # jit BOTH sides: bare jax.grad (inside ft_force) would otherwise
+    # dispatch op-by-op through the remote tunnel (~8 s/eval measured).
+    ft_force = jax.jit(ft_force, static_argnames=("spec", "beta", "remat"))
+
     def timed(fn):
         zz = z
         _sync(fn(params, spec, zz, beta))            # compile
