@@ -40,6 +40,11 @@ def main():
     p.add_argument("--hmc-ntraj", type=int, default=2048)
     p.add_argument("--hmc-nstep", type=int, default=32)
     p.add_argument("--therm-frac", type=float, default=0.25)
+    p.add_argument("--cold", action="store_true",
+                   help="ordered (cold) start - the right initialization "
+                        "deep in the beta >= 6 phase where hot starts need "
+                        "O(100) trajectories to thermalize. The FT chain "
+                        "starts at z0 = f^-1(0) via the bisection inverse.")
     p.add_argument("--out", required=True)
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -53,7 +58,15 @@ def main():
     print("flow restored:", meta, flush=True)
 
     key = jax.random.PRNGKey(11)
-    z0 = lattice.hot_start(key, args.chains, args.L)
+    if args.cold:
+        import jax.numpy as jnp
+        from fthmc_tpu.models.flow import flow_reverse
+        y_cold = jnp.zeros((args.chains, 2, args.L, args.L), jnp.float32)
+        z0, _ = flow_reverse(state.params, y_cold, spec)
+        jax.block_until_ready(z0)
+        print("cold start: z0 = f^-1(0) via bisection", flush=True)
+    else:
+        z0 = lattice.hot_start(key, args.chains, args.L)
     lf = LeapfrogConfig(tau=args.tau, nstep=args.nstep)
     t0 = time.time()
     key, kft, kh = jax.random.split(key, 3)
@@ -67,7 +80,7 @@ def main():
 
     hcfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau,
                      nstep=args.hmc_nstep, ntraj=args.hmc_ntraj,
-                     n_chains=args.chains, randinit=True)
+                     n_chains=args.chains, randinit=not args.cold)
     x, hh = run_hmc_chunked(hcfg, block=1024, key=kh)
     th = int(args.hmc_ntraj * args.therm_frac)
     qh = np.asarray(hh.q)
