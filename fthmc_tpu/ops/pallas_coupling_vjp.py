@@ -401,6 +401,12 @@ def vjp_kernel_fits(spec: FlowSpec, L: int, B: int,
         return False
     if spec.conv_dtype == "bfloat16":
         return False
+    # Mosaic stack allocation for the unrolled kernel body scales with
+    # L^2 * TB and blows the 16M scoped-VMEM limit beyond the validated
+    # envelope (measured on v5e: L=16/B=1024 OOMs at 49.7M while L=8/B=1024
+    # and L=16/B<=128 compile and run) - gate to that envelope.
+    if not (L <= 8 or B <= 128):
+        return False
     widths = [2, *spec.hidden_sizes, _out_channels(spec)]
     arr = L * L * 128 * 4                       # one (L, L, TB) fp32 buffer
     n_res = sum(widths[1:-1]) + widths[-1]
