@@ -20,6 +20,19 @@ from fthmc_tpu.models.flow import init_flow_params
 
 def main():
     out = {}
+    # whole FT-HMC step rate, both backends (the VERDICT 2x criterion).
+    # L=16 runs at 128 chains (the kernel's VMEM envelope).
+    for fb in ("xla", "pallas"):
+        r = bench_fthmc_leapfrog(L=8, chains=1024, nstep=64, ntraj=4,
+                                 force_backend=fb)
+        out[f"fthmc_L8_{fb}"] = r
+        print(json.dumps(r), flush=True)
+    for fb in ("xla", "pallas"):
+        r = bench_fthmc_leapfrog(L=16, chains=128, nstep=64, ntraj=4,
+                                 force_backend=fb)
+        out[f"fthmc_L16_{fb}"] = r
+        print(json.dumps(r), flush=True)
+
     # force-only A/B at the reference architecture sizes (VERDICT item 3's
     # 2x criterion lives at hidden (8,8)). L=16/B=1024 is outside the
     # kernel's validated VMEM envelope (Mosaic stack OOM) - gated off.
@@ -35,19 +48,6 @@ def main():
                                    coupling="rncp", reps=15)
     out["force_L16_B64_h32"] = r
     print(json.dumps(r), flush=True)
-
-    # whole FT-HMC step rate, both backends (the VERDICT 2x criterion).
-    # L=16 runs at 128 chains (the kernel's VMEM envelope).
-    for fb in ("xla", "pallas"):
-        r = bench_fthmc_leapfrog(L=8, chains=1024, nstep=64, ntraj=4,
-                                 force_backend=fb)
-        out[f"fthmc_L8_{fb}"] = r
-        print(json.dumps(r), flush=True)
-    for fb in ("xla", "pallas"):
-        r = bench_fthmc_leapfrog(L=16, chains=128, nstep=64, ntraj=4,
-                                 force_backend=fb)
-        out[f"fthmc_L16_{fb}"] = r
-        print(json.dumps(r), flush=True)
 
     # physics equivalence: same key, both backends
     spec = FlowSpec(n_layers=16, coupling="rncp", n_mixture=6,

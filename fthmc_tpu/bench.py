@@ -138,12 +138,16 @@ def bench_fthmc_force_backends(L: int = 16, chains: int = 128,
         _sync(zz)
         return (time.perf_counter() - t0) / reps
 
+    from fthmc_tpu.ops.pallas_coupling_vjp import vjp_kernel_fits
     tx = timed(ft_force)
-    tp = timed(ft_force_pallas)
+    fits = vjp_kernel_fits(spec, L, chains)
+    tp = timed(ft_force_pallas) if fits else None
     return {
         "metric": f"fthmc_force_ms_L{L}_layers{n_layers}",
-        "xla_ms": tx * 1e3, "pallas_ms": tp * 1e3,
-        "speedup": tx / tp,
+        "xla_ms": tx * 1e3,
+        "pallas_ms": tp * 1e3 if fits else None,
+        "speedup": tx / tp if fits else None,
+        "pallas_gated_off": not fits,
         "config": {"L": L, "chains": chains, "n_layers": n_layers,
                    "hidden": tuple(hidden), "n_mixture": n_mixture,
                    "coupling": coupling},
