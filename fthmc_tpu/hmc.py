@@ -368,19 +368,20 @@ def ft_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
 
 def resolve_force_backend(force_backend: str, spec: FlowSpec, z_shape,
                           dtype) -> str:
-    """'auto' -> 'pallas' (fused per-layer VJP kernels,
-    ops/pallas_coupling_vjp.py) when on TPU in fp32 with a coupling family /
-    width the kernels support and the chain count maps onto whole lanes;
-    'xla' otherwise."""
+    """'auto' -> 'xla'. The fused per-layer VJP kernels
+    (ops/pallas_coupling_vjp.py, force_backend='pallas') are exact
+    (fp64-validated) and physics-equivalent on hardware, but MEASURED
+    SLOWER end-to-end inside compiled scans (whole-step chain-steps/s on
+    v5e: 0.82x at 8^2/1024 chains, 0.52x at 16^2/128 - per-kernel-launch
+    overhead plus VPU-FMA convs vs XLA's fused MXU convs; BENCH.md round-2
+    kernel notes, runs/bench_force_ab.json). Per-call timings through the
+    remote tunnel that suggested large wins were RPC-overhead artifacts.
+    'pallas' stays available as an explicit opt-in; it additionally
+    requires fp32, a supported coupling family, whole-lane chain counts,
+    and the VMEM envelope (vjp_kernel_fits)."""
     if force_backend != "auto":
         return force_backend
-    if jax.default_backend() == "cpu" or dtype != jnp.float32:
-        return "xla"
-    from fthmc_tpu.ops.pallas_coupling_vjp import vjp_kernel_fits
-    B, _, L, _ = z_shape
-    if not (B <= 128 or B % 128 == 0):
-        return "xla"
-    return "pallas" if vjp_kernel_fits(spec, L, B) else "xla"
+    return "xla"
 
 
 def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,

@@ -108,8 +108,12 @@ def test_vjp_kernel_fits_gating():
     assert not vjp_kernel_fits(wide, L=64, B=128)
     spline = FlowSpec(n_layers=1, coupling="spline")
     assert not vjp_kernel_fits(spline, L=8, B=128)
-    # dispatcher: CPU / non-fp32 / explicit override
+    # VMEM envelope: Mosaic stack OOM beyond (L <= 8 or B <= 128)
+    assert not vjp_kernel_fits(small, L=16, B=1024)
+    assert vjp_kernel_fits(small, L=8, B=1024)
+    # dispatcher: 'auto' is XLA (measured faster end-to-end on v5e -
+    # BENCH.md); 'pallas' is an explicit opt-in
     assert resolve_force_backend("auto", small, (64, 2, 16, 16),
-                                 jnp.float32) == "xla"  # cpu backend here
+                                 jnp.float32) == "xla"
     assert resolve_force_backend("pallas", small, (64, 2, 16, 16),
                                  jnp.float32) == "pallas"
