@@ -105,9 +105,19 @@ def latest_checkpoint(outdir: str) -> str | None:
 
 def find_and_load_checkpoint(outdir: str, target):
     """Discover + restore the newest checkpoint, or None.
-    (reference io.py:96-111 + train.py:77-92)"""
+    (reference io.py:96-111 + train.py:77-92)
+
+    If `outdir` contains no ckpt_era* subdirectories but is itself a
+    checkpoint directory (e.g. an artifacts/ entry saved directly by
+    save_checkpoint), restore it directly - so CLI --ckpt accepts both a
+    checkpoints/ parent and a bare checkpoint path."""
     path = latest_checkpoint(outdir)
     if path is None:
+        if os.path.isdir(outdir):
+            try:
+                return load_checkpoint(outdir, target)
+            except Exception:
+                return None
         return None
     return load_checkpoint(path, target)
 
