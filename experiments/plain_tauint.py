@@ -39,7 +39,7 @@ def main():
     jax.block_until_ready(x)
     therm = int(args.ntraj * args.therm_frac)
     q = np.asarray(h.q)[therm:]
-    from analyze_tauint import chain_stats
+    from fthmc_tpu.observables import chain_stats
     res = {
         "config": vars(args),
         "acc": float(np.asarray(h.acc)[therm:].mean()),

@@ -51,10 +51,11 @@ def main():
                     s_clip=args.s_clip)
     cfg = TrainConfig(L=8, beta=args.beta, flow=spec, grad_clip=1.0)
     state = init_train_state(jax.random.PRNGKey(0), cfg)
+    # find_and_load_checkpoint accepts both parents and bare checkpoint
+    # dirs (and load errors propagate) since round 3
     found = find_and_load_checkpoint(args.ckpt, state)
-    if found is None:       # args.ckpt IS a checkpoint dir (e.g. artifacts/)
-        from fthmc_tpu.checkpoint import load_checkpoint
-        found = load_checkpoint(args.ckpt, state)
+    if found is None:
+        raise SystemExit(f"no checkpoint found at {args.ckpt}")
     state, meta = found
     print("flow restored:", meta, flush=True)
     params = state.params

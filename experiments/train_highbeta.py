@@ -43,15 +43,15 @@ def main():
     p.add_argument("--beta", type=float, default=3.0)
     p.add_argument("--beta-init", type=float, default=2.0)
     p.add_argument("--anneal-frac", type=float, default=0.6)
-    p.add_argument("--coupling", default="spline")
+    p.add_argument("--coupling", default="rncp")  # the family every round-2 headline used; spline is sampling-only
     p.add_argument("--n-knots", type=int, default=8)
-    p.add_argument("--n-mixture", type=int, default=2)
+    p.add_argument("--n-mixture", type=int, default=8)
     p.add_argument("--n-layers", type=int, default=24)
     p.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
     p.add_argument("--activation", default="silu")
-    p.add_argument("--s-clip", type=float, default=None)
+    p.add_argument("--s-clip", type=float, default=3.0)
     p.add_argument("--with-force", action="store_true")
-    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--sched", action="store_true",
                    help="reduce-on-plateau LR schedule")
     p.add_argument("--integrator", default="leapfrog",
@@ -116,7 +116,8 @@ def main():
         wall = time.time() - t0
         print(f"train wall {wall:.1f}s "
               f"({cfg.n_era * cfg.n_epoch / wall:.1f} steps/s)", flush=True)
-        save_checkpoint(ckptdir, state, era=cfg.n_era - 1, epoch=cfg.n_epoch)
+        save_checkpoint(ckptdir, state, era=cfg.n_era - 1,
+                        epoch=cfg.n_epoch, train_cfg=cfg)
         results["train"] = {
             "wall_s": wall,
             "ess_final": float(np.mean(hist["ess"][-20:])),

@@ -26,14 +26,15 @@ import jax
 import numpy as np
 
 from fthmc_tpu import lattice
-from fthmc_tpu.checkpoint import (find_and_load_checkpoint, save_checkpoint,
+from fthmc_tpu.checkpoint import (find_and_load_checkpoint,
+                                  load_checkpoint_auto, save_checkpoint,
                                   save_history)
 from fthmc_tpu.config import (FlowSpec, HMCConfig, LeapfrogConfig,
                               SchedulerConfig, TrainConfig, load_json_configs)
 from fthmc_tpu.hmc import run_fthmc, run_fthmc_chunked, run_hmc
 from fthmc_tpu.utils.tboard import TBWriter
 from fthmc_tpu.models.flow import count_parameters
-from fthmc_tpu.observables import tau_int
+from fthmc_tpu.observables import chain_stats
 from fthmc_tpu.sampling import generate_ensemble
 from fthmc_tpu.train import init_train_state, train
 from fthmc_tpu.utils.logger import Logger, MetricsWriter
@@ -44,15 +45,16 @@ logger = Logger()
 def _summarize_hmc(hist, therm_frac: float = 0.25) -> dict:
     n = hist.plaq.shape[0]
     t = int(n * therm_frac)
-    q = np.asarray(hist.q)[t:]
+    cs = chain_stats(np.asarray(hist.q)[t:])
     out = {
         "acc": float(np.asarray(hist.acc)[t:].mean()),
         "plaq": float(np.asarray(hist.plaq)[t:].mean()),
         "exp_mdh": float(np.asarray(hist.exp_mdh)[t:].mean()),
         "dh_abs": float(np.abs(np.asarray(hist.dh)[t:]).mean()),
-        "chi_q": float(np.mean(q**2)),
-        "tau_int_q": float(np.mean(
-            [tau_int(q[:, c]) for c in range(q.shape[1])])),
+        "chi_q": cs["chi_q"],
+        "chi_q_err": cs["chi_q_err"],
+        "tau_int_q": cs["tau_int_q"],
+        "tau_int_q_err": cs["tau_int_q_err"],
     }
     return out
 
@@ -70,12 +72,23 @@ def _maybe_mesh(args):
 def cmd_hmc(args) -> dict:
     cfg = HMCConfig(beta=args.beta, L=args.L, tau=args.tau, nstep=args.nstep,
                     ntraj=args.ntraj, n_chains=args.chains, seed=args.seed,
-                    nrun=getattr(args, "nrun", 1), randinit=True)
+                    nrun=getattr(args, "nrun", 1),
+                    randinit=getattr(args, "start", "hot") != "cold")
     mesh = _maybe_mesh(args)
+    rows = getattr(args, "shard_rows", 1) or 1
     logger.rule(f"HMC {cfg.L}x{cfg.L} beta={cfg.beta}"
-                + (f" [{mesh.devices.size} devices]" if mesh else ""))
+                + (f" [{mesh.devices.size} devices]" if mesh else "")
+                + (f" [rows/{rows}]" if rows > 1 else ""))
     t0 = time.time()
-    if mesh is not None:
+    if rows > 1:
+        # domain decomposition: lattice ROW axis sharded, halo exchange via
+        # ICI ppermute (parallel/domain.py) - for L beyond one chip's HBM
+        from fthmc_tpu.hmc import TrajMetrics
+        from fthmc_tpu.parallel.domain import make_rows_mesh, run_domain_hmc
+        assert rows <= jax.device_count(), (rows, jax.device_count())
+        x, hist_d = run_domain_hmc(make_rows_mesh(rows), cfg)
+        hist = TrajMetrics(**{k: np.asarray(v) for k, v in hist_d.items()})
+    elif mesh is not None:
         from fthmc_tpu.parallel.mesh import sharded_run_hmc
         x, hist = sharded_run_hmc(
             mesh, cfg, integrator=getattr(args, "integrator", "leapfrog"))
@@ -126,14 +139,58 @@ def cmd_hmc(args) -> dict:
     return stats
 
 
-def _flow_spec(args) -> FlowSpec:
-    return FlowSpec(n_layers=args.n_layers, n_mixture=args.n_mixture,
-                    hidden_sizes=tuple(args.hidden), kernel_size=args.kernel,
-                    activation=args.activation,
-                    coupling=getattr(args, "coupling", "ncp"),
-                    n_knots=getattr(args, "n_knots", 8),
-                    s_clip=getattr(args, "s_clip", None),
-                    conv_dtype=getattr(args, "conv_dtype", "float32"))
+_SPEC_ARGS = {  # CLI attr -> FlowSpec field
+    "n_layers": "n_layers", "n_mixture": "n_mixture", "hidden": "hidden_sizes",
+    "kernel": "kernel_size", "activation": "activation",
+    "coupling": "coupling", "n_knots": "n_knots", "s_clip": "s_clip",
+    "conv_dtype": "conv_dtype"}
+
+
+def _cli_spec_overrides(args) -> dict:
+    """FlowSpec fields explicitly set on the command line (non-None values;
+    restore-mode subcommands default every flow flag to None so checkpoint
+    metadata wins unless the user overrides). --s-clip with a negative value
+    explicitly disables clipping (-> None)."""
+    out = {}
+    for attr, field in _SPEC_ARGS.items():
+        v = getattr(args, attr, None)
+        if v is None:
+            continue
+        if attr == "hidden":
+            v = tuple(v)
+        if attr == "s_clip" and v < 0:
+            v = None
+        out[field] = v
+    return out
+
+
+def _flow_spec(args, base: FlowSpec | None = None) -> FlowSpec:
+    """FlowSpec from CLI flags layered over `base` (checkpoint metadata or
+    the dataclass defaults)."""
+    return dataclasses.replace(base or FlowSpec(), **_cli_spec_overrides(args))
+
+
+def _load_flow_state(args):
+    """Resolve (state, spec) for sample/fthmc: a self-describing --ckpt
+    restores its own architecture (flags override); legacy checkpoints fall
+    back to the template built from flags."""
+    if args.ckpt:
+        found = load_checkpoint_auto(args.ckpt,
+                                     spec_overrides=_cli_spec_overrides(args))
+        if found is not None:
+            state, meta, spec, _ = found
+            logger.log(f"restored self-describing checkpoint "
+                       f"({spec.coupling}, {spec.n_layers} layers, "
+                       f"era={meta.get('era')})")
+            return state, spec
+    spec = _flow_spec(args)
+    cfg = TrainConfig(L=args.L, beta=args.beta, flow=spec)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    found = find_and_load_checkpoint(
+        args.ckpt or os.path.join(cfg.logdir(), "checkpoints"), state)
+    if found is None:
+        raise SystemExit("no checkpoint found; pass --ckpt")
+    return found[0], spec
 
 
 def cmd_train(args) -> dict:
@@ -163,7 +220,8 @@ def cmd_train(args) -> dict:
 
     writer = MetricsWriter(os.path.join(outdir, "train_metrics.jsonl"))
     sched = (SchedulerConfig(factor=args.sched_factor,
-                             patience=args.sched_patience)
+                             patience=args.sched_patience,
+                             cooldown=getattr(args, "sched_cooldown", 0))
              if args.scheduler else None)
 
     def cb(step, metrics):
@@ -178,6 +236,7 @@ def cmd_train(args) -> dict:
 
     def ckpt(era, st, history):
         save_checkpoint(ckptdir, st, era=era, epoch=cfg.n_epoch,
+                        train_cfg=cfg,
                         history={k: np.asarray(v, dtype=np.float64)
                                  for k, v in history.items()
                                  if np.ndim(v[0]) == 0})
@@ -205,16 +264,10 @@ def cmd_train(args) -> dict:
 
 
 def cmd_sample(args, state=None, spec=None) -> dict:
-    if spec is None:
-        spec = _flow_spec(args)
     if state is None:
-        cfg = TrainConfig(L=args.L, beta=args.beta, flow=spec)
-        state = init_train_state(jax.random.PRNGKey(0), cfg)
-        found = find_and_load_checkpoint(
-            args.ckpt or os.path.join(cfg.logdir(), "checkpoints"), state)
-        if found is None:
-            raise SystemExit("no checkpoint found; pass --ckpt")
-        state, _ = found
+        state, spec = _load_flow_state(args)
+    elif spec is None:
+        spec = _flow_spec(args)
     logger.rule(f"flow sampling {args.L}x{args.L} beta={args.beta}")
     out = generate_ensemble(
         state.params, spec, beta=args.beta, L=args.L,
@@ -226,23 +279,26 @@ def cmd_sample(args, state=None, spec=None) -> dict:
 
 
 def cmd_fthmc(args, state=None, spec=None) -> dict:
-    if spec is None:
-        spec = _flow_spec(args)
     if state is None:
-        cfg = TrainConfig(L=args.L, beta=args.beta, flow=spec)
-        state = init_train_state(jax.random.PRNGKey(0), cfg)
-        found = find_and_load_checkpoint(
-            args.ckpt or os.path.join(cfg.logdir(), "checkpoints"), state)
-        if found is None:
-            raise SystemExit("no checkpoint found; pass --ckpt")
-        state, _ = found
+        state, spec = _load_flow_state(args)
+    elif spec is None:
+        spec = _flow_spec(args)
     lf = LeapfrogConfig(tau=args.tau, nstep=args.nstep)
     mesh = _maybe_mesh(args)
     logger.rule(f"FT-HMC {args.L}x{args.L} beta={args.beta} "
                 f"tau={lf.tau} nstep={lf.nstep}"
                 + (f" [{mesh.devices.size} devices]" if mesh else ""))
     key = jax.random.PRNGKey(args.seed)
-    z0 = lattice.hot_start(key, args.chains, args.L)
+    if getattr(args, "start", "hot") == "cold":
+        # ordered start: z0 = f^{-1}(0) via the bisection inverse - required
+        # at beta >= ~5 where hot starts take ~tau_int trajectories to reach
+        # the equilibrium (ordered) phase (BENCH.md 64^2 beta=6 procedure)
+        import jax.numpy as jnp
+        from fthmc_tpu.models.flow import flow_reverse
+        z0, _ = flow_reverse(
+            state.params, jnp.zeros((args.chains, 2, args.L, args.L)), spec)
+    else:
+        z0 = lattice.hot_start(key, args.chains, args.L)
     tb = TBWriter(os.path.join(args.outdir, "summaries")) if (
         args.outdir and getattr(args, "tensorboard", False)) else None
 
@@ -256,7 +312,19 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
                       for k in block._fields}, step=done, prefix="ftHMC")
 
     t0 = time.time()
-    if mesh is not None:
+    rows = getattr(args, "shard_rows", 1) or 1
+    if rows > 1:
+        # domain-decomposed FT-HMC (leapfrog; parallel/domain_flow.py)
+        from fthmc_tpu.hmc import TrajMetrics
+        from fthmc_tpu.parallel.domain import make_rows_mesh
+        from fthmc_tpu.parallel.domain_flow import run_domain_fthmc_chunked
+        assert rows <= jax.device_count(), (rows, jax.device_count())
+        z, hist_d = run_domain_fthmc_chunked(
+            make_rows_mesh(rows), state.params, spec, lf, beta=args.beta,
+            ntraj=args.ntraj, z0=z0, key=key,
+            block=min(args.ntraj, 256), callback=None)
+        hist = TrajMetrics(**{k: np.asarray(v) for k, v in hist_d.items()})
+    elif mesh is not None:
         from fthmc_tpu.parallel.mesh import sharded_run_fthmc_chunked
         z, hist = sharded_run_fthmc_chunked(
             mesh, state.params, spec, lf, beta=args.beta, ntraj=args.ntraj,
@@ -287,17 +355,34 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
     return stats
 
 
+def _spec_to_args(spec: FlowSpec) -> dict:
+    """FlowSpec -> the CLI attr dict cmd_train expects (inverse of
+    _flow_spec), so pipeline stages carry the FULL architecture - coupling
+    family, s_clip, conv_dtype included."""
+    return {"n_layers": spec.n_layers, "n_mixture": spec.n_mixture,
+            "hidden": list(spec.hidden_sizes), "kernel": spec.kernel_size,
+            "activation": spec.activation, "coupling": spec.coupling,
+            "n_knots": spec.n_knots, "s_clip": spec.s_clip,
+            "conv_dtype": spec.conv_dtype}
+
+
 def cmd_pipeline(args) -> dict:
     """Full reference pipeline (main.py:268-304): HMC baseline -> train ->
     flow eval -> FT-HMC -> transfer to 2L (re-apply + fine-tune) -> repeat
-    eval at 2L."""
+    eval at 2L. --mode highbeta instead runs the partial-trivialization
+    workflow (cmd_pipeline_highbeta)."""
+    if getattr(args, "mode", "reference") == "highbeta":
+        return cmd_pipeline_highbeta(args)
     if args.json_file:
         hmc_cfg, train_cfg, lf, sched = load_json_configs(args.json_file)
     else:
         hmc_cfg = HMCConfig(beta=args.beta, L=args.L, ntraj=args.ntraj,
                             n_chains=args.chains)
-        train_cfg = TrainConfig(L=args.L, beta=args.beta, n_era=args.n_era,
-                                n_epoch=args.n_epoch, flow=_flow_spec(args))
+        train_cfg = TrainConfig(
+            L=args.L, beta=args.beta, n_era=args.n_era,
+            n_epoch=args.n_epoch, flow=_flow_spec(args),
+            beta_init=getattr(args, "beta_init", None),
+            grad_clip=getattr(args, "grad_clip", None))
         lf, sched = LeapfrogConfig(tau=args.tau, nstep=args.nstep), None
 
     results: dict = {}
@@ -319,9 +404,10 @@ def cmd_pipeline(args) -> dict:
         scheduler=sched is not None,
         sched_factor=getattr(sched, "factor", 0.5),
         sched_patience=getattr(sched, "patience", 10),
-        n_layers=spec.n_layers, n_mixture=spec.n_mixture,
-        hidden=list(spec.hidden_sizes), kernel=spec.kernel_size,
-        activation=spec.activation)
+        beta_init=train_cfg.beta_init,
+        anneal_frac=train_cfg.beta_anneal_frac,
+        grad_clip=train_cfg.grad_clip,
+        **_spec_to_args(spec))
     tr = cmd_train(tns)
     state = tr["state"]
 
@@ -371,6 +457,99 @@ def cmd_pipeline(args) -> dict:
     return results
 
 
+def cmd_pipeline_highbeta(args) -> dict:
+    """Partial-trivialization pipeline (the round-2 flagship workflow,
+    BENCH.md, packaged end-to-end per round-2 review): train the SMOOTH
+    rncp flow at a small lattice with beta annealed 2 -> flow_beta (~3),
+    then run FT-HMC at the TARGET (L, beta) with the flow UNCHANGED - a
+    partial trivializing map only needs to flatten the measure, Metropolis
+    corrects the rest (cf. Luscher arXiv:0907.5491). Finishes with a
+    tau_int(Q) head-to-head vs plain HMC, chain-bootstrap errors included.
+
+        python -m fthmc_tpu.cli pipeline --mode highbeta --L 16 --beta 6 \
+            [--ckpt artifacts/flow8x8_b3_rncp24]   # skip the training leg
+    """
+    results: dict = {"mode": "highbeta", "L": args.L, "beta": args.beta}
+    logger.rule(f"partial-trivialization pipeline -> {args.L}x{args.L} "
+                f"beta={args.beta}")
+
+    # 1. the smooth flow: restore a self-describing checkpoint, or train
+    #    the flagship recipe from scratch at the small lattice
+    if args.ckpt:
+        found = load_checkpoint_auto(
+            args.ckpt, spec_overrides=_cli_spec_overrides(args))
+        if found is None:
+            raise SystemExit(f"--ckpt {args.ckpt}: no self-describing "
+                             "checkpoint found (train one with this "
+                             "pipeline, or pass architecture flags to "
+                             "`fthmc` directly)")
+        state, meta, spec, _ = found
+        logger.log(f"flow restored: {spec.coupling} x{spec.n_layers}, "
+                   f"era={meta.get('era')}")
+    else:
+        base = FlowSpec(n_layers=24, coupling="rncp", n_mixture=8,
+                        hidden_sizes=(32, 32), s_clip=3.0)
+        spec = _flow_spec(args, base)
+        n_epoch = min(500, args.train_steps)
+        tns = argparse.Namespace(
+            L=args.flow_L, beta=args.flow_beta,
+            n_era=max(1, args.train_steps // n_epoch), n_epoch=n_epoch,
+            batch_size=args.flow_batch, lr=1e-3, seed=args.seed,
+            outdir=os.path.join(args.outdir, "flow") if args.outdir else None,
+            with_force=False, restore=False, scheduler=True,
+            sched_factor=0.5, sched_patience=30, sched_cooldown=30,
+            beta_init=(2.0 if args.beta_init is None else args.beta_init),
+            anneal_frac=0.5,
+            grad_clip=(1.0 if args.grad_clip is None else args.grad_clip),
+            devices=getattr(args, "devices", 1), **_spec_to_args(spec))
+        tr = cmd_train(tns)
+        state = tr["state"]
+        results["train"] = {k: tr[k] for k in ("ess", "loss_dkl", "wall_s")}
+
+    # 2. FT-HMC at the target (L, beta) with the flow unchanged (volume
+    #    transfer is free: params are L-independent). Omelyan + cold start
+    #    by default - the production recipe at beta >= 5.
+    cold = args.beta >= 5.0 if args.start == "auto" else args.start == "cold"
+    fns = argparse.Namespace(
+        L=args.L, beta=args.beta, tau=args.tau, nstep=args.ft_nstep,
+        ntraj=args.ntraj, chains=args.ft_chains, seed=args.seed + 1,
+        ckpt=None, outdir=(os.path.join(args.outdir, "fthmc")
+                           if args.outdir else None),
+        integrator=args.ft_integrator, start="cold" if cold else "hot",
+        devices=getattr(args, "devices", 1))
+    results["fthmc"] = cmd_fthmc(fns, state=state, spec=spec)
+
+    # 3. plain-HMC baseline at the same (L, beta) - long chains (tau_int
+    #    grows ~x4.5 per unit beta; BENCH.md beta-scan)
+    ns = argparse.Namespace(
+        beta=args.beta, L=args.L, tau=args.tau, nstep=args.plain_nstep,
+        ntraj=args.plain_ntraj, chains=args.plain_chains,
+        seed=args.seed + 2, start="cold" if cold else "hot",
+        outdir=(os.path.join(args.outdir, "hmc") if args.outdir else None),
+        devices=getattr(args, "devices", 1))
+    results["hmc"] = cmd_hmc(ns)
+
+    ft, pl = results["fthmc"], results["hmc"]
+    if ft["tau_int_q"] > 0:
+        s = pl["tau_int_q"] / ft["tau_int_q"]
+        err = s * np.hypot(pl["tau_int_q_err"] / max(pl["tau_int_q"], 1e-12),
+                           ft["tau_int_q_err"] / max(ft["tau_int_q"], 1e-12))
+        results["tau_int_speedup"] = s
+        results["tau_int_speedup_err"] = float(err)
+    logger.rule("head-to-head")
+    logger.print_metrics({
+        "tau_int_plain": pl["tau_int_q"], "tau_int_ft": ft["tau_int_q"],
+        "speedup": results.get("tau_int_speedup"),
+        "chi_q_plain": pl["chi_q"], "chi_q_ft": ft["chi_q"],
+        "exact_plaq": lattice.PLAQ_EXACT.get(args.beta)})
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        with open(os.path.join(args.outdir, "pipeline_results.json"),
+                  "w") as f:
+            json.dump(results, f, indent=2, default=float)
+    return results
+
+
 def cmd_bench(args) -> dict:
     from fthmc_tpu.bench import run_benchmarks
     return run_benchmarks(L=args.L, chains=args.chains, beta=args.beta,
@@ -389,19 +568,31 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--devices", type=int, default=1,
                         help="shard chains/batch over this many devices "
                              "(multi-chip production drivers)")
+        sp.add_argument("--shard-rows", type=int, default=1,
+                        dest="shard_rows",
+                        help="domain decomposition: shard the lattice ROW "
+                             "axis over this many devices (halo exchange "
+                             "over ICI; hmc/fthmc only, leapfrog). For L "
+                             "beyond one chip's HBM; L %% shard_rows == 0")
 
-    def flow_args(sp):
-        sp.add_argument("--n-layers", type=int, default=24)
-        sp.add_argument("--n-mixture", type=int, default=2)
-        sp.add_argument("--hidden", type=int, nargs="+", default=[8, 8])
-        sp.add_argument("--kernel", type=int, default=3)
-        sp.add_argument("--activation", type=str, default="silu")
-        sp.add_argument("--coupling", choices=["ncp", "spline"],
-                        default="ncp")
-        sp.add_argument("--n-knots", type=int, default=8)
-        sp.add_argument("--s-clip", type=float, default=None)
+    def flow_args(sp, restore: bool = False):
+        """Flow-architecture flags. restore=True (sample/fthmc) defaults
+        everything to None so a self-describing --ckpt's stored FlowSpec
+        wins; explicit flags override the metadata."""
+        d = (lambda v: None) if restore else (lambda v: v)
+        sp.add_argument("--n-layers", type=int, default=d(24))
+        sp.add_argument("--n-mixture", type=int, default=d(2))
+        sp.add_argument("--hidden", type=int, nargs="+", default=d([8, 8]))
+        sp.add_argument("--kernel", type=int, default=d(3))
+        sp.add_argument("--activation", type=str, default=d("silu"))
+        sp.add_argument("--coupling", choices=["ncp", "rncp", "spline"],
+                        default=d("ncp"))
+        sp.add_argument("--n-knots", type=int, default=d(8))
+        sp.add_argument("--s-clip", type=float, default=None,
+                        help="smooth cap on the NCP log-slope; negative "
+                             "explicitly disables clipping on restore")
         sp.add_argument("--conv-dtype", choices=["float32", "bfloat16"],
-                        default="float32")
+                        default=d("float32"))
 
     sp = sub.add_parser("hmc")
     common(sp)
@@ -413,6 +604,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="independent fresh-init runs (reference nrun)")
     sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
                     default="leapfrog")
+    sp.add_argument("--start", choices=["hot", "cold"], default="hot",
+                    help="cold = ordered (zeros) start; use at beta >= ~5")
     sp.set_defaults(fn=cmd_hmc)
 
     sp = sub.add_parser("train")
@@ -431,11 +624,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--scheduler", action="store_true")
     sp.add_argument("--sched-factor", type=float, default=0.5)
     sp.add_argument("--sched-patience", type=int, default=10)
+    sp.add_argument("--sched-cooldown", type=int, default=0)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample")
     common(sp)
-    flow_args(sp)
+    flow_args(sp, restore=True)
     sp.add_argument("--ckpt", type=str, default=None)
     sp.add_argument("--ensemble-size", type=int, default=8192)
     sp.add_argument("--batch-size", type=int, default=64)
@@ -443,7 +637,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("fthmc")
     common(sp)
-    flow_args(sp)
+    flow_args(sp, restore=True)
     sp.add_argument("--ckpt", type=str, default=None)
     sp.add_argument("--tau", type=float, default=1.0)
     sp.add_argument("--nstep", type=int, default=64)
@@ -456,20 +650,57 @@ def build_parser() -> argparse.ArgumentParser:
                     default="auto", dest="force_backend",
                     help="FT-HMC force: XLA autodiff or the fused Pallas "
                          "VJP kernels (ops/pallas_coupling_vjp.py)")
+    sp.add_argument("--start", choices=["hot", "cold"], default="hot",
+                    help="cold = chain starts at z0 = f^{-1}(0) (bisection "
+                         "inverse); the production recipe at beta >= ~5")
     sp.set_defaults(fn=cmd_fthmc)
 
     sp = sub.add_parser("pipeline")
     common(sp)
-    flow_args(sp)
+    flow_args(sp, restore=True)  # None defaults: json/mode recipes win,
+    #                              explicit flags override
+    sp.add_argument("--mode", choices=["reference", "highbeta"],
+                    default="reference",
+                    help="reference = the full reference pipeline (hmc -> "
+                         "train -> eval -> fthmc -> 2L transfer); highbeta "
+                         "= the partial-trivialization workflow (train "
+                         "smooth rncp flow at 8^2 beta~3, FT-HMC at the "
+                         "target beta with it unchanged)")
     sp.add_argument("--json-file", type=str, default=None)
     sp.add_argument("--tau", type=float, default=1.0)
     sp.add_argument("--nstep", type=int, default=64)
-    sp.add_argument("--ntraj", type=int, default=256)
+    sp.add_argument("--ntraj", type=int, default=2048)
     sp.add_argument("--chains", type=int, default=16)
     sp.add_argument("--n-era", type=int, default=10)
     sp.add_argument("--n-epoch", type=int, default=100)
     sp.add_argument("--ensemble-size", type=int, default=8192)
     sp.add_argument("--transfer-epochs", type=int, default=100)
+    sp.add_argument("--beta-init", type=float, default=None,
+                    help="beta-annealed training start (highbeta: 2.0)")
+    sp.add_argument("--grad-clip", type=float, default=None,
+                    help="global-norm gradient clip (highbeta: 1.0)")
+    # --mode highbeta knobs (flagship recipe defaults, BENCH.md round 2)
+    sp.add_argument("--ckpt", type=str, default=None,
+                    help="highbeta: reuse this self-describing flow "
+                         "checkpoint instead of training")
+    sp.add_argument("--flow-L", type=int, default=8, dest="flow_L",
+                    help="highbeta: train the flow at this small lattice")
+    sp.add_argument("--flow-beta", type=float, default=3.0,
+                    help="highbeta: anneal the flow to this beta (NOT the "
+                         "target beta - smooth flows transfer, sharp ones "
+                         "don't)")
+    sp.add_argument("--flow-batch", type=int, default=512)
+    sp.add_argument("--train-steps", type=int, default=15000)
+    sp.add_argument("--ft-nstep", type=int, default=128)
+    sp.add_argument("--ft-chains", type=int, default=64)
+    sp.add_argument("--ft-integrator", choices=["leapfrog", "omelyan"],
+                    default="omelyan")
+    sp.add_argument("--plain-nstep", type=int, default=32)
+    sp.add_argument("--plain-ntraj", type=int, default=32768)
+    sp.add_argument("--plain-chains", type=int, default=128)
+    sp.add_argument("--start", choices=["auto", "hot", "cold"],
+                    default="auto",
+                    help="highbeta chain starts (auto: cold at beta >= 5)")
     sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("bench")

@@ -376,12 +376,25 @@ def resolve_force_backend(force_backend: str, spec: FlowSpec, z_shape,
     overhead plus VPU-FMA convs vs XLA's fused MXU convs; BENCH.md round-2
     kernel notes, runs/bench_force_ab.json). Per-call timings through the
     remote tunnel that suggested large wins were RPC-overhead artifacts.
-    'pallas' stays available as an explicit opt-in; it additionally
-    requires fp32, a supported coupling family, whole-lane chain counts,
-    and the VMEM envelope (vjp_kernel_fits)."""
-    if force_backend != "auto":
-        return force_backend
-    return "xla"
+
+    Explicit 'pallas' is validated against the kernels' support envelope
+    (vjp_kernel_fits: coupling family, fp32, VMEM at this (L, B)) and
+    REJECTED loudly when outside it - otherwise an out-of-envelope size
+    dies with an opaque Mosaic VMEM error from inside a compiled scan."""
+    if force_backend == "auto":
+        return "xla"
+    if force_backend == "pallas":
+        from fthmc_tpu.ops.pallas_coupling_vjp import vjp_kernel_fits
+        B, _, L, _ = z_shape
+        if dtype != jnp.float32:
+            raise ValueError("force_backend='pallas' requires fp32 fields")
+        if not vjp_kernel_fits(spec, L, B):
+            raise ValueError(
+                f"force_backend='pallas' unsupported for coupling="
+                f"{spec.coupling!r} at L={L}, B={B} (requires ncp/rncp, "
+                f"fp32 convs, and the validated VMEM envelope L<=8 or "
+                f"B<=128); use 'auto'/'xla'")
+    return force_backend
 
 
 def fthmc_step(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,

@@ -264,17 +264,13 @@ def rncp_plaq_coupling_reverse(
         jnp.full_like(y_t, -PI + 1e-7), s, r)[:, None]
     y_adj = f_lo + jnp.remainder(y_t - f_lo, TWO_PI)
     transform = lambda x: rotated_mixture_transform(x, s, r)[:, None]
-    x1 = _bisect_invert_on(y_adj, transform, tol, max_iter)
+    # same bisection as ncp: bracketing on x in (-pi, pi) is valid for the
+    # shifted output interval too (y_adj was aligned above)
+    x1 = _bisect_invert(y_adj, transform, tol, max_iter)
     local_logJ = active * rotated_mixture_logJ(x1, s, r)
     logJ = -jnp.sum(local_logJ, axis=(1, 2))
     x = active * x1[:, 0] + passive * fplaq + frozen * fplaq
     return CouplingOut(x, logJ)
-
-
-def _bisect_invert_on(y, transform, tol: float, max_iter: int):
-    """_bisect_invert for transforms whose output interval is not centered:
-    identical bracketing on x in (-pi, pi), tolerance on |y - f(mid)|."""
-    return _bisect_invert(y, transform, tol, max_iter)
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["calc_dkl", "calc_ess", "bootstrap", "topo_susceptibility",
-           "tau_int", "blocked_dq_sq_vs_dt", "acceptance_rate"]
+           "tau_int", "tau_int_err", "chain_stats", "blocked_dq_sq_vs_dt",
+           "acceptance_rate"]
 
 
 # ---------------------------------------------------------------------------
@@ -72,14 +73,15 @@ def acceptance_rate(acc: np.ndarray) -> float:
     return float(np.mean(np.asarray(acc, dtype=np.float64)))
 
 
-def tau_int(x: np.ndarray, c: float = 4.0, max_lag: int | None = None) -> float:
-    """Integrated autocorrelation time with the Madras-Sokal automatic window
+def _tau_int_window(x: np.ndarray, c: float = 4.0,
+                    max_lag: int | None = None) -> tuple[float, int]:
+    """(tau_int, window W) with the Madras-Sokal automatic window
     (W = first lag where W >= c * tau_int(W)). x: 1D series."""
     x = np.asarray(x, dtype=np.float64)
     x = x - x.mean()
     n = len(x)
     if n < 2 or np.allclose(x, 0.0):
-        return 0.5
+        return 0.5, 0
     if max_lag is None:
         max_lag = n // 2
     # FFT autocovariance
@@ -87,14 +89,86 @@ def tau_int(x: np.ndarray, c: float = 4.0, max_lag: int | None = None) -> float:
     f = np.fft.rfft(x, m)
     acov = np.fft.irfft(f * np.conj(f), m)[:n].real / np.arange(n, 0, -1)
     if acov[0] <= 0:
-        return 0.5
+        return 0.5, 0
     rho = acov / acov[0]
     t = 0.5
+    w_used = max_lag
     for w in range(1, max_lag):
         t += rho[w]
         if w >= c * t:
+            w_used = w
             break
-    return float(max(t, 0.5))
+    return float(max(t, 0.5)), int(w_used)
+
+
+def tau_int(x: np.ndarray, c: float = 4.0, max_lag: int | None = None) -> float:
+    """Integrated autocorrelation time with the Madras-Sokal automatic window.
+    x: 1D series. See tau_int_err for the matching error estimate and
+    chain_stats for multi-chain bootstrap errors."""
+    return _tau_int_window(x, c, max_lag)[0]
+
+
+def tau_int_err(x: np.ndarray, c: float = 4.0,
+                max_lag: int | None = None) -> tuple[float, float, int]:
+    """(tau_int, stderr, window) for a single 1D series.
+
+    The error is the Madras-Sokal variance estimate
+    var(tau) ~= (2 (2W + 1) / N) tau^2  (Madras & Sokal 1988, eq. 3.19),
+    valid for N >> tau. For multi-chain runs prefer chain_stats, whose
+    bootstrap over independent chains needs no such approximation.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    t, w = _tau_int_window(x, c, max_lag)
+    n = len(x)
+    err = t * np.sqrt(2.0 * (2.0 * w + 1.0) / max(n, 1))
+    return t, float(err), w
+
+
+def chain_stats(q: np.ndarray, *, n_boot: int = 400, seed: int = 0,
+                therm_frac: float = 0.0, c: float = 4.0) -> dict:
+    """Headline chain statistics with chain-bootstrap error bars.
+
+    q: (ntraj, n_chains) per-trajectory series (typically the topological
+    charge). Per-chain tau_int estimates are independent (the chains are),
+    so a bootstrap over the chain axis is the honest error for the
+    chain-averaged estimator - this is the statistic behind every BENCH
+    tau_int number (previously experiments/analyze_tauint.py; promoted into
+    the package per round-2 review).
+
+    Returns {tau_int_q, tau_int_q_err, chi_q, chi_q_err, q_mobility_dt1,
+    tau_window_mean, n_chains, ntraj_used, therm}.
+    """
+    q = np.asarray(q, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[:, None]
+    therm = int(q.shape[0] * therm_frac)
+    q = q[therm:]
+    nchain = q.shape[1]
+    tw = [_tau_int_window(q[:, ch], c=c) for ch in range(nchain)]
+    ti = np.array([t for t, _ in tw])
+    chi = (q ** 2).mean(axis=0)
+    rng = np.random.default_rng(seed)
+    if nchain > 1:
+        idx = rng.integers(0, nchain, size=(n_boot, nchain))
+        ti_err = float(ti[idx].mean(axis=1).std(ddof=1))
+        chi_err = float(chi[idx].mean(axis=1).std(ddof=1))
+    else:
+        # single chain: fall back to the Madras-Sokal variance / binned
+        # bootstrap respectively
+        ti_err = tau_int_err(q[:, 0], c=c)[1]
+        chi_err = topo_susceptibility(q[:, 0])[1]
+    dq2 = float(np.mean((q[1:] - q[:-1]) ** 2)) if q.shape[0] > 1 else 0.0
+    return {
+        "tau_int_q": float(ti.mean()),
+        "tau_int_q_err": ti_err,
+        "chi_q": float(chi.mean()),
+        "chi_q_err": chi_err,
+        "q_mobility_dt1": dq2,          # windowing-free cross-check
+        "tau_window_mean": float(np.mean([w for _, w in tw])),
+        "n_chains": int(nchain),
+        "ntraj_used": int(q.shape[0]),
+        "therm": therm,
+    }
 
 
 def blocked_dq_sq_vs_dt(q: np.ndarray, dt_range: int = 10,

@@ -500,7 +500,18 @@ def _plain_force_cl(y_cl: jnp.ndarray, beta: float) -> jnp.ndarray:
 def ft_force_pallas(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
                     interpret: bool = False) -> jnp.ndarray:
     """FT-HMC force dS_eff/dz via the fused per-layer VJP kernels. Drop-in
-    for hmc.ft_force (z: (B, 2, L, L)); NOT itself differentiable."""
+    for hmc.ft_force (z: (B, 2, L, L)); NOT itself differentiable.
+
+    Raises ValueError for coupling families the kernels don't implement
+    (explicit force_backend='pallas' must fail LOUDLY: a spline spec would
+    silently mis-slice the conditioner channels and return a wrong force -
+    MH keeps sampling exact but acceptance collapses; round-2 advisor)."""
+    if spec.coupling not in ("ncp", "rncp"):
+        raise ValueError(
+            f"force_backend='pallas' supports coupling 'ncp'/'rncp', not "
+            f"{spec.coupling!r}; use the XLA backend")
+    if spec.conv_dtype != "float32":
+        raise ValueError("force_backend='pallas' requires fp32 conv_dtype")
     B = z.shape[0]
     xc = jnp.transpose(z, (1, 2, 3, 0))
     xs, residuals = [], []

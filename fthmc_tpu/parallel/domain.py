@@ -17,6 +17,8 @@ validated against the single-device kernel on the CPU test mesh
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -24,8 +26,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fthmc_tpu import lattice
 
 __all__ = ["plaq_phase_sharded", "action_sharded", "force_sharded",
-           "topo_charge_sharded", "delta_action_sharded",
-           "make_domain_hmc_step"]
+           "topo_charge_sharded", "delta_action_sharded", "make_rows_mesh",
+           "make_domain_hmc_step", "run_domain_hmc"]
+
+
+def make_rows_mesh(n_devices: int | None = None, devices=None,
+                   axis: str = "rows") -> Mesh:
+    """A 1D device mesh over the lattice ROW axis (domain decomposition)."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
 
 
 def _neighbor_rows(a: jnp.ndarray, axis_name: str):
@@ -102,6 +115,54 @@ def delta_action_sharded(x1, x0, beta: float, axis_name: str) -> jnp.ndarray:
     return -beta * jax.lax.psum(jnp.sum(d, axis=(1, 2)), axis_name)
 
 
+def plaq_mean_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Mean plaquette per chain across shards: (B,)."""
+    local = jnp.sum(jnp.cos(plaq_phase_sharded(x, axis_name)), axis=(1, 2))
+    n = x.shape[-2] * x.shape[-1] * jax.lax.axis_size(axis_name)
+    return jax.lax.psum(local, axis_name) / n
+
+
+def _domain_hmc_step_local(key, x, q_old, *, beta: float, dt: float,
+                           nstep: int, axis: str):
+    """One HMC trajectory on the row-sharded field (shard-local program).
+    Returns (x', q', metrics dict of (B,) REPLICATED arrays - every metric
+    is psum-complete so each shard holds the global value)."""
+    kv, ka = jax.random.split(key)
+    # per-shard independent momentum: fold the shard index into the key
+    idx = jax.lax.axis_index(axis)
+    kv = jax.random.fold_in(kv, idx)
+    v0 = jax.random.normal(kv, x.shape, x.dtype)
+
+    xx = x + 0.5 * dt * v0
+    v = v0
+
+    def body(carry, _):
+        xx, v = carry
+        v = v - dt * force_sharded(xx, beta, axis)
+        xx = xx + dt * v
+        return (xx, v), None
+
+    (xx, v), _ = jax.lax.scan(body, (xx, v), None, length=nstep)
+    x1 = lattice.wrap(xx - 0.5 * dt * v)
+
+    ds = delta_action_sharded(x1, x, beta, axis)
+    dk = 0.5 * jax.lax.psum(
+        jnp.sum(((v - v0) * (v + v0)).reshape(x.shape[0], -1), axis=-1),
+        axis)
+    dh = ds + dk
+    # identical accept decision on every shard (same key -> same u)
+    u = jax.random.uniform(ka, dh.shape, dh.dtype)
+    acc = u < jnp.exp(-dh)
+    x_new = jnp.where(acc[:, None, None, None], x1, x)
+    q_new = topo_charge_sharded(x_new, axis)
+    metrics = {
+        "dh": dh, "exp_mdh": jnp.exp(-dh), "acc": acc.astype(x.dtype),
+        "plaq": plaq_mean_sharded(x_new, axis), "q": q_new,
+        "dq": jnp.abs(q_new - q_old),
+    }
+    return x_new, q_new, metrics
+
+
 def make_domain_hmc_step(mesh: Mesh, *, beta: float, dt: float, nstep: int,
                          axis: str = "rows"):
     """Compile a full HMC step with the LATTICE ROW axis sharded over
@@ -113,35 +174,9 @@ def make_domain_hmc_step(mesh: Mesh, *, beta: float, dt: float, nstep: int,
     xspec = P(None, None, axis, None)
 
     def _step(key, x, q_old):
-        kv, ka = jax.random.split(key)
-        # per-shard independent momentum: fold the shard index into the key
-        idx = jax.lax.axis_index(axis)
-        kv = jax.random.fold_in(kv, idx)
-        v0 = jax.random.normal(kv, x.shape, x.dtype)
-
-        xx = x + 0.5 * dt * v0
-        v = v0
-
-        def body(carry, _):
-            xx, v = carry
-            v = v - dt * force_sharded(xx, beta, axis)
-            xx = xx + dt * v
-            return (xx, v), None
-
-        (xx, v), _ = jax.lax.scan(body, (xx, v), None, length=nstep)
-        x1 = lattice.wrap(xx - 0.5 * dt * v)
-
-        ds = delta_action_sharded(x1, x, beta, axis)
-        dk = 0.5 * jax.lax.psum(
-            jnp.sum(((v - v0) * (v + v0)).reshape(x.shape[0], -1), axis=-1),
-            axis)
-        dh = ds + dk
-        # identical accept decision on every shard (same key -> same u)
-        u = jax.random.uniform(ka, dh.shape, dh.dtype)
-        acc = u < jnp.exp(-dh)
-        x_new = jnp.where(acc[:, None, None, None], x1, x)
-        q_new = topo_charge_sharded(x_new, axis)
-        return x_new, q_new, (dh, acc.astype(x.dtype))
+        x, q, m = _domain_hmc_step_local(key, x, q_old, beta=beta, dt=dt,
+                                         nstep=nstep, axis=axis)
+        return x, q, (m["dh"], m["acc"])
 
     shard_fn = jax.shard_map(
         _step, mesh=mesh,
@@ -150,3 +185,54 @@ def make_domain_hmc_step(mesh: Mesh, *, beta: float, dt: float, nstep: int,
         check_vma=False,
     )
     return jax.jit(shard_fn)
+
+
+@lru_cache(maxsize=None)
+def _domain_hmc_run_fn(mesh: Mesh, axis: str, beta: float, dt: float,
+                       nstep: int, ntraj: int):
+    """Cached compiled whole-run domain-decomposed HMC: the ntraj scan runs
+    INSIDE shard_map (one dispatch for the whole run; collectives per force
+    eval ride ICI neighbor ppermutes). Mirrors mesh._hmc_run_fn."""
+    xspec = P(None, None, axis, None)
+    mspec = {k: P() for k in ("dh", "exp_mdh", "acc", "plaq", "q", "dq")}
+
+    def local(key, x0):
+        q0 = topo_charge_sharded(x0, axis)
+
+        def body(carry, k):
+            x, q = carry
+            x, q, m = _domain_hmc_step_local(k, x, q, beta=beta, dt=dt,
+                                             nstep=nstep, axis=axis)
+            return (x, q), m
+
+        keys = jax.random.split(key, ntraj)
+        (x, _), hist = jax.lax.scan(body, (x0, q0), keys)
+        return x, hist
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), xspec), out_specs=(xspec, mspec),
+        check_vma=False))
+
+
+def run_domain_hmc(mesh: Mesh, cfg, *, x0=None, key=None,
+                   axis: str = "rows", dtype=jnp.float32):
+    """Whole-run production driver for row-sharded (domain-decomposed) HMC:
+    cfg.ntraj trajectories as ONE compiled scan, lattice rows sharded over
+    `mesh`. For lattices beyond one chip's HBM (the long-context analogue,
+    SURVEY.md section 5). Returns (x_final sharded, history dict of
+    (ntraj, B) host-convertible arrays - the TrajMetrics fields)."""
+    n_dev = mesh.devices.size
+    assert cfg.L % n_dev == 0, (cfg.L, n_dev)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    if x0 is None:
+        if cfg.randinit:
+            key, k0 = jax.random.split(key)
+            x0 = lattice.hot_start(k0, cfg.n_chains, cfg.L, dtype)
+        else:
+            x0 = jnp.zeros((cfg.n_chains, 2, cfg.L, cfg.L), dtype)
+    x0 = jax.device_put(
+        x0, NamedSharding(mesh, P(None, None, axis, None)))
+    run = _domain_hmc_run_fn(mesh, axis, cfg.beta, cfg.dt, cfg.nstep,
+                             cfg.ntraj)
+    return run(key, x0)

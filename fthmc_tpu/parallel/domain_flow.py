@@ -17,6 +17,8 @@ on one device or gather first.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,7 +36,8 @@ from fthmc_tpu.parallel.domain import (plaq_phase_sharded,
                                        topo_charge_sharded)
 
 __all__ = ["flow_forward_sharded", "ft_action_sharded", "ft_force_sharded",
-           "make_domain_fthmc_step"]
+           "make_domain_fthmc_step", "run_domain_fthmc",
+           "run_domain_fthmc_chunked"]
 
 
 def _halo_rows(a: jnp.ndarray, p: int, axis_name: str):
@@ -171,6 +174,62 @@ def ft_force_sharded(params, spec: FlowSpec, z, beta: float, L0: int,
         _ft_action_local(params, spec, zz, beta, L0, axis_name, remat)))(z)
 
 
+def _plaq_mean_sharded(y, axis_name):
+    local = jnp.sum(jnp.cos(plaq_phase_sharded(y, axis_name)), axis=(1, 2))
+    n = y.shape[-2] * y.shape[-1] * lax.axis_size(axis_name)
+    return lax.psum(local, axis_name) / n
+
+
+def _domain_fthmc_step_local(params, key, z, q_old, *, spec: FlowSpec,
+                             beta: float, dt: float, nstep: int, L0: int,
+                             axis: str, remat: bool = True):
+    """One FT-HMC trajectory on the row-sharded latent field (shard-local
+    program). Returns (z', q', metrics dict of replicated (B,) arrays)."""
+    kv, ka = jax.random.split(key)
+    idx = lax.axis_index(axis)
+    kv = jax.random.fold_in(kv, idx)
+    v0 = jax.random.normal(kv, z.shape, z.dtype)
+
+    y0, logdet0 = flow_forward_sharded(params, z, spec, L0, axis,
+                                       remat=remat)
+    force = lambda zz: ft_force_sharded(params, spec, zz, beta, L0,
+                                        axis, remat=remat)
+    zz = z + 0.5 * dt * v0
+    v = v0
+
+    def body(carry, _):
+        zz, v = carry
+        v = v - dt * force(zz)
+        zz = zz + dt * v
+        return (zz, v), None
+
+    (zz, v), _ = lax.scan(body, (zz, v), None, length=nstep)
+    z1 = lattice.wrap(zz - 0.5 * dt * v)
+
+    y1, logdet1 = flow_forward_sharded(params, z1, spec, L0, axis,
+                                       remat=remat)
+    dsw = -beta * lax.psum(
+        jnp.sum(jnp.cos(plaq_phase_sharded(y1, axis))
+                - jnp.cos(plaq_phase_sharded(y0, axis)),
+                axis=(1, 2)), axis)
+    dk = 0.5 * lax.psum(
+        jnp.sum(((v - v0) * (v + v0)).reshape(z.shape[0], -1), axis=-1),
+        axis)
+    dh = dsw - (logdet1 - logdet0) + dk
+    u = jax.random.uniform(ka, dh.shape, dh.dtype)
+    acc = u < jnp.exp(-dh)
+    accb = acc[:, None, None, None]
+    z_new = jnp.where(accb, z1, z)
+    y_new = jnp.where(accb, y1, y0)
+    q_new = topo_charge_sharded(y_new, axis)
+    metrics = {
+        "dh": dh, "exp_mdh": jnp.exp(-dh), "acc": acc.astype(z.dtype),
+        "plaq": _plaq_mean_sharded(y_new, axis), "q": q_new,
+        "dq": jnp.abs(q_new - q_old),
+    }
+    return z_new, q_new, metrics
+
+
 def make_domain_fthmc_step(mesh: Mesh, spec: FlowSpec, *, beta: float,
                            dt: float, nstep: int, L0: int,
                            axis: str = "rows", remat: bool = True):
@@ -182,44 +241,10 @@ def make_domain_fthmc_step(mesh: Mesh, spec: FlowSpec, *, beta: float,
     zspec = P(None, None, axis, None)
 
     def _step(params, key, z, q_old):
-        kv, ka = jax.random.split(key)
-        idx = lax.axis_index(axis)
-        kv = jax.random.fold_in(kv, idx)
-        v0 = jax.random.normal(kv, z.shape, z.dtype)
-
-        y0, logdet0 = flow_forward_sharded(params, z, spec, L0, axis,
-                                           remat=remat)
-        force = lambda zz: ft_force_sharded(params, spec, zz, beta, L0,
-                                            axis, remat=remat)
-        zz = z + 0.5 * dt * v0
-        v = v0
-
-        def body(carry, _):
-            zz, v = carry
-            v = v - dt * force(zz)
-            zz = zz + dt * v
-            return (zz, v), None
-
-        (zz, v), _ = lax.scan(body, (zz, v), None, length=nstep)
-        z1 = lattice.wrap(zz - 0.5 * dt * v)
-
-        y1, logdet1 = flow_forward_sharded(params, z1, spec, L0, axis,
-                                           remat=remat)
-        dsw = -beta * lax.psum(
-            jnp.sum(jnp.cos(plaq_phase_sharded(y1, axis))
-                    - jnp.cos(plaq_phase_sharded(y0, axis)),
-                    axis=(1, 2)), axis)
-        dk = 0.5 * lax.psum(
-            jnp.sum(((v - v0) * (v + v0)).reshape(z.shape[0], -1), axis=-1),
-            axis)
-        dh = dsw - (logdet1 - logdet0) + dk
-        u = jax.random.uniform(ka, dh.shape, dh.dtype)
-        acc = u < jnp.exp(-dh)
-        accb = acc[:, None, None, None]
-        z_new = jnp.where(accb, z1, z)
-        y_new = jnp.where(accb, y1, y0)
-        q_new = topo_charge_sharded(y_new, axis)
-        return z_new, q_new, (dh, acc.astype(z.dtype))
+        z, q, m = _domain_fthmc_step_local(
+            params, key, z, q_old, spec=spec, beta=beta, dt=dt, nstep=nstep,
+            L0=L0, axis=axis, remat=remat)
+        return z, q, (m["dh"], m["acc"])
 
     shard_fn = jax.shard_map(
         _step, mesh=mesh,
@@ -228,3 +253,77 @@ def make_domain_fthmc_step(mesh: Mesh, spec: FlowSpec, *, beta: float,
         check_vma=False,
     )
     return jax.jit(shard_fn)
+
+
+@lru_cache(maxsize=None)
+def _domain_fthmc_run_fn(mesh: Mesh, axis: str, spec: FlowSpec, beta: float,
+                         dt: float, nstep: int, ntraj: int, L0: int,
+                         remat: bool):
+    """Cached compiled whole-run domain-decomposed FT-HMC scan (mirrors
+    mesh._fthmc_run_fn; the cache keeps chunked drivers at ONE compile)."""
+    zspec = P(None, None, axis, None)
+    mspec = {k: P() for k in ("dh", "exp_mdh", "acc", "plaq", "q", "dq")}
+
+    def local(params, key, z0):
+        y0, _ = flow_forward_sharded(params, z0, spec, L0, axis, remat=remat)
+        q0 = topo_charge_sharded(y0, axis)
+
+        def body(carry, k):
+            z, q = carry
+            z, q, m = _domain_fthmc_step_local(
+                params, k, z, q, spec=spec, beta=beta, dt=dt, nstep=nstep,
+                L0=L0, axis=axis, remat=remat)
+            return (z, q), m
+
+        keys = jax.random.split(key, ntraj)
+        (z, _), hist = lax.scan(body, (z0, q0), keys)
+        return z, hist
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), zspec),
+        out_specs=(zspec, mspec), check_vma=False))
+
+
+def run_domain_fthmc(mesh: Mesh, params, spec: FlowSpec, lf, *, beta: float,
+                     ntraj: int, z0, key, axis: str = "rows",
+                     remat: bool = True):
+    """Whole-run production driver for row-sharded FT-HMC: ntraj
+    trajectories as ONE compiled scan with the lattice rows sharded over
+    `mesh` and flow params replicated - flowed HMC on lattices larger than
+    one chip's HBM (no reference counterpart). Returns (z_final sharded,
+    history dict of (ntraj, B) arrays - the TrajMetrics fields)."""
+    L0 = z0.shape[-2]
+    n_dev = mesh.devices.size
+    assert L0 % n_dev == 0, (L0, n_dev)
+    z0 = jax.device_put(
+        z0, NamedSharding(mesh, P(None, None, axis, None)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    run = _domain_fthmc_run_fn(mesh, axis, spec, beta, lf.dt, lf.nstep,
+                               ntraj, L0, remat)
+    return run(params, key, z0)
+
+
+def run_domain_fthmc_chunked(mesh: Mesh, params, spec: FlowSpec, lf, *,
+                             beta: float, ntraj: int, z0, key,
+                             block: int = 256, callback=None,
+                             axis: str = "rows", remat: bool = True):
+    """Chunked domain-decomposed FT-HMC driver (bounded device-run length;
+    one compile per block size). Returns (z_final sharded, history dict of
+    host numpy (ntraj, B) arrays)."""
+    import numpy as np
+    blocks = []
+    z = z0
+    done = 0
+    while done < ntraj:
+        n = min(block, ntraj - done)
+        key, krun = jax.random.split(key)
+        z, hist = run_domain_fthmc(mesh, params, spec, lf, beta=beta,
+                                   ntraj=n, z0=z, key=krun, axis=axis,
+                                   remat=remat)
+        jax.block_until_ready(z)
+        blocks.append({k: np.asarray(v) for k, v in hist.items()})
+        done += n
+        if callback is not None:
+            callback(done, blocks[-1])
+    cat = {k: np.concatenate([b[k] for b in blocks]) for k in blocks[0]}
+    return z, cat

@@ -4,11 +4,15 @@ Reference parity: fthmc/utils/samplers.py:129-259 + fthmc/utils/inference.py:
 34-153 (serial_sample_generator / make_mcmc_ensemble), and generate_ensemble
 (samplers.py:80-102) for the topological-susceptibility evaluation.
 
-TPU design: proposals are generated in device batches by the flow; the
-inherently serial accept/reject chain is a lax.scan over the proposal axis
-(the reference's Python generator + `if draw < p_accept` branch becomes a
-branchless scan). Multiple independent chains vmap for free, but the default
-matches the reference's single-chain semantics for validation.
+TPU design (round 3 - beyond the reference, whose chain is inherently
+single-chain and host-driven): the ENTIRE ensemble runs as one jitted
+program - an outer lax.scan over proposal blocks, an inner lax.scan over the
+serial accept/reject chain, and `n_chains` independent chains vectorized
+across the batch axis. Each block evaluates the flow once on
+(batch * n_chains) fields (one big MXU-friendly call); the chains share
+nothing but that proposal-generation batch (each chain consumes its OWN
+proposal stream and uniforms, so per-chain detailed balance is untouched).
+Cross-chain scatter then gives honest error bars via observables.chain_stats.
 """
 from __future__ import annotations
 
@@ -21,7 +25,8 @@ import numpy as np
 
 from fthmc_tpu import lattice
 from fthmc_tpu.config import FlowSpec
-from fthmc_tpu.observables import acceptance_rate, topo_susceptibility
+from fthmc_tpu.observables import (acceptance_rate, chain_stats,
+                                   topo_susceptibility)
 from fthmc_tpu.train import sample_and_logq
 
 __all__ = ["mcmc_chain_scan", "make_mcmc_ensemble", "generate_ensemble"]
@@ -38,10 +43,12 @@ class ChainHistory(NamedTuple):
 
 @partial(jax.jit, static_argnames=())
 def mcmc_chain_scan(key, proposals, logq, logp, x0, logq0, logp0):
-    """Serial independence-Metropolis over a pre-generated proposal batch.
+    """Serial independence-Metropolis over a pre-generated proposal batch
+    (single chain; kept for API parity with the reference's
+    serial_sample_generator, inference.py:97-127).
 
-    Accept prob = min(1, exp[(logp' - logq') - (logp - logq)]) (reference
-    inference.py:97-127). Carry = (x, logq, logp, q); scan over proposals.
+    Accept prob = min(1, exp[(logp' - logq') - (logp - logq)]).
+    Carry = (x, logq, logp, q); scan over proposals.
     """
     n = proposals.shape[0]
     keys = jax.random.split(key, n)
@@ -66,76 +73,122 @@ def mcmc_chain_scan(key, proposals, logq, logp, x0, logq0, logp0):
     return hist
 
 
+@partial(jax.jit, static_argnames=("spec", "beta", "L", "nblocks", "batch",
+                                   "n_chains", "keep_fields"))
+def _ensemble_scan(params, key, spec: FlowSpec, beta: float, L: int,
+                   nblocks: int, batch: int, n_chains: int,
+                   keep_fields: bool = False):
+    """The whole multi-chain ensemble as ONE compiled program.
+
+    Outer scan: nblocks proposal blocks, each one flow evaluation on
+    (batch * n_chains) prior draws. Inner scan: the serial chain over the
+    batch axis with all n_chains advanced in lockstep (independent
+    proposals + uniforms per chain -> independent Markov chains).
+    Returns ((x, lq, lp, q) final carry, history dict of
+    (nblocks*batch, n_chains[, ...]) arrays, init sample).
+    """
+    kinit, kscan = jax.random.split(key)
+    # chain start: first proposal per chain, accepted by definition
+    # (reference inference.py:102-104)
+    x0, _, lq0 = sample_and_logq(params, spec, kinit, n_chains, L)
+    lp0 = -lattice.batch_action(x0, beta)
+    q0 = lattice.batch_charges(x0)
+
+    def block(carry, kb):
+        kprop, kacc = jax.random.split(kb)
+        xp, _, lqp = sample_and_logq(params, spec, kprop, batch * n_chains, L)
+        lpp = -lattice.batch_action(xp, beta)
+        xp = xp.reshape(batch, n_chains, *xp.shape[1:])
+        lqp = lqp.reshape(batch, n_chains)
+        lpp = lpp.reshape(batch, n_chains)
+        us = jax.random.uniform(kacc, (batch, n_chains), lqp.dtype)
+
+        def step(c, inp):
+            x, lq, lp, q = c
+            xn, lqn, lpn, u = inp
+            p_acc = jnp.exp((lpn - lqn) - (lp - lq))
+            acc = u < jnp.minimum(p_acc, 1.0)
+            x = jnp.where(acc[:, None, None, None], xn, x)
+            lq = jnp.where(acc, lqn, lq)
+            lp = jnp.where(acc, lpn, lp)
+            qn = lattice.batch_charges(x)
+            out = {"q": qn, "dqsq": (qn - q) ** 2, "logq": lq, "logp": lp,
+                   "acc": acc.astype(x.dtype)}
+            if keep_fields:
+                out["x"] = x
+            return (x, lq, lp, qn), out
+
+        return jax.lax.scan(step, carry, (xp, lqp, lpp, us))
+
+    keys = jax.random.split(kscan, nblocks)
+    carry, hist = jax.lax.scan(block, (x0, lq0, lp0, q0), keys)
+    hist = {k: v.reshape(nblocks * batch, *v.shape[2:])
+            for k, v in hist.items()}
+    init = {"q": q0, "dqsq": jnp.zeros_like(q0), "logq": lq0, "logp": lp0,
+            "acc": jnp.ones_like(q0)}
+    if keep_fields:
+        init["x"] = x0
+    return carry, hist, init
+
+
 def make_mcmc_ensemble(params, spec: FlowSpec, *, beta: float, L: int,
                        batch_size: int, num_samples: int, key: jax.Array,
+                       n_chains: int = 1,
                        keep_fields: bool = False) -> dict[str, np.ndarray]:
-    """Build a serial Markov chain of `num_samples` flow proposals.
+    """Independence-Metropolis chains over flow proposals, fully on device.
 
-    Proposals come in jitted batches of `batch_size`; the serial chain scans
-    each batch on device, carrying the chain state across batches. The first
-    proposal is always accepted (chain start; reference inference.py:102-104).
-
-    Returns host numpy history {'q','dqsq','logq','logp','acc'} (+ 'x' if
-    keep_fields).
+    `num_samples` samples PER CHAIN (including the always-accepted initial
+    proposal), generated in jitted blocks of `batch_size` proposals per
+    chain. Returns host numpy history {'q','dqsq','logq','logp','acc'}
+    (+ 'x' if keep_fields) with shape (num_samples,) for the default single
+    chain (reference semantics, samplers.py:182-259) or (num_samples,
+    n_chains) for the vectorized multi-chain ensemble.
     """
-    history: dict[str, list] = {k: [] for k in
-                                ("q", "dqsq", "logq", "logp", "acc")}
-    if keep_fields:
-        history["x"] = []
-
-    carry = None
-    remaining = num_samples
-    while remaining > 0:
-        n = min(batch_size, remaining)
-        key, kprop, kchain = jax.random.split(key, 3)
-        x, _, logq = sample_and_logq(params, spec, kprop, n, L)
-        logp = -lattice.batch_action(x, beta)
-        if carry is None:
-            # chain starts at the first proposal, accepted by definition
-            x0, lq0, lp0 = x[0], logq[0], logp[0]
-            hist0 = ChainHistory(
-                x=x0[None], q=lattice.topo_charge(x0)[None],
-                dqsq=jnp.zeros((1,), x.dtype), logq=lq0[None], logp=lp0[None],
-                acc=jnp.ones((1,), x.dtype))
-            _append(history, hist0, keep_fields)
-            x, logq, logp = x[1:], logq[1:], logp[1:]
-            carry = (x0, lq0, lp0)
-            remaining -= 1
-            if x.shape[0] == 0:
-                continue
-        hist = mcmc_chain_scan(kchain, x, logq, logp, *carry)
-        _append(history, hist, keep_fields)
-        carry = (hist.x[-1], hist.logq[-1], hist.logp[-1])
-        remaining -= x.shape[0]
-
-    out = {k: np.concatenate([np.atleast_1d(np.asarray(v)) for v in vals])
-           for k, vals in history.items() if vals}
+    n_prop = num_samples - 1
+    nblocks = max(1, -(-n_prop // batch_size))
+    _, hist, init = _ensemble_scan(params, key, spec, beta, L, nblocks,
+                                   batch_size, n_chains, keep_fields)
+    out = {}
+    for k, v in hist.items():
+        v = np.asarray(jax.device_get(v))[:n_prop]
+        v0 = np.asarray(jax.device_get(init[k]))[None]
+        v = np.concatenate([v0, v], axis=0)
+        if n_chains == 1:
+            v = v[:, 0]
+        out[k] = v
     return out
-
-
-def _append(history, hist: ChainHistory, keep_fields: bool):
-    for k in ("q", "dqsq", "logq", "logp", "acc"):
-        history[k].append(jax.device_get(getattr(hist, k)))
-    if keep_fields:
-        history["x"].append(jax.device_get(hist.x))
 
 
 def generate_ensemble(params, spec: FlowSpec, *, beta: float, L: int,
                       ensemble_size: int = 1024, batch_size: int = 64,
                       nboot: int = 100, binsize: int = 16,
+                      n_chains: int = 1,
                       key: jax.Array | None = None) -> dict:
-    """Flow-sampling evaluation: acceptance + bootstrap chi_Q (reference
-    generate_ensemble, samplers.py:80-102)."""
+    """Flow-sampling evaluation: acceptance + chi_Q (reference
+    generate_ensemble, samplers.py:80-102).
+
+    n_chains=1 reproduces the reference's single serial chain with its
+    binned-bootstrap chi_Q error; n_chains>1 runs `ensemble_size` samples
+    PER CHAIN and reports cross-chain errors (observables.chain_stats) plus
+    tau_int of the chain - strictly more information at the same device
+    cost per sample.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     history = make_mcmc_ensemble(
         params, spec, beta=beta, L=L, batch_size=batch_size,
-        num_samples=ensemble_size, key=key)
-    mean, err = topo_susceptibility(history["q"], nboot=nboot,
-                                    binsize=binsize)
-    return {
+        num_samples=ensemble_size, key=key, n_chains=n_chains)
+    out = {
         "history": history,
         "accept_rate": acceptance_rate(history["acc"]),
-        "suscept_mean": mean,
-        "suscept_err": err,
     }
+    if n_chains == 1:
+        mean, err = topo_susceptibility(history["q"], nboot=nboot,
+                                        binsize=binsize)
+        out.update(suscept_mean=mean, suscept_err=err)
+    else:
+        cs = chain_stats(history["q"], n_boot=max(nboot, 100))
+        out.update(suscept_mean=cs["chi_q"], suscept_err=cs["chi_q_err"],
+                   tau_int_q=cs["tau_int_q"],
+                   tau_int_q_err=cs["tau_int_q_err"], chain_stats=cs)
+    return out

@@ -222,7 +222,13 @@ def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
     elapse before bad epochs start accumulating toward `patience` again.
     """
     best = state.best_loss
-    improved = loss < best - sched.threshold * jnp.abs(best)
+    # isinf guard: best starts at +inf, where best - thr*|best| = inf - inf
+    # = nan and `loss < nan` is ALWAYS False - without the guard best never
+    # updates and the LR decays unconditionally every patience+1 epochs
+    # (round-3 fix; the round-2 'plateau' schedule was effectively an
+    # unconditional step decay because of this)
+    improved = (loss < best - sched.threshold * jnp.abs(best)) | jnp.isinf(
+        best)
     in_cooldown = state.plateau_count < 0
     count = jnp.where(improved & ~in_cooldown, 0, state.plateau_count + 1)
     fire = count > sched.patience
@@ -286,22 +292,13 @@ def plateau_scheduler_update(state: TrainState, loss: float,
                              base_lr: float) -> TrainState:
     """Host-side reduce-on-plateau (reference ReduceLROnPlateau,
     train.py:314-317): if loss hasn't improved by `threshold` (rel) for
-    `patience` epochs, multiply lr_scale by `factor`, floored at min_lr."""
-    best = float(state.best_loss)
-    improved = loss < best - sched.threshold * abs(best) if best != float(
-        "inf") else True
-    if improved:
-        return state._replace(
-            best_loss=jnp.asarray(loss, jnp.float32),
-            plateau_count=jnp.zeros((), jnp.int32))
-    count = int(state.plateau_count) + 1
-    if count > sched.patience:
-        new_scale = max(float(state.lr_scale) * sched.factor,
-                        sched.min_lr / base_lr)
-        return state._replace(
-            lr_scale=jnp.asarray(new_scale, jnp.float32),
-            plateau_count=jnp.zeros((), jnp.int32))
-    return state._replace(plateau_count=jnp.asarray(count, jnp.int32))
+    `patience` epochs, multiply lr_scale by `factor`, floored at min_lr.
+
+    Implemented as the device-side rule (_plateau_update_device) evaluated
+    eagerly - ONE rule, two entry points; cooldown semantics included.
+    """
+    return _plateau_update_device(
+        state, jnp.asarray(loss, jnp.float32), sched, base_lr)
 
 
 def anneal_betas(cfg: TrainConfig, era: int) -> jnp.ndarray | None:

@@ -77,3 +77,25 @@ def test_domain_hmc_step_physics():
             emdh.append(float(jnp.exp(-dh).mean()))
     assert abs(np.mean(plaqs) - lattice.PLAQ_EXACT[2.0]) < 0.03
     assert abs(np.mean(emdh) - 1.0) < 0.3
+
+
+def test_run_domain_hmc_whole_run_driver():
+    """Production whole-run scan (round 3): ntraj trajectories inside ONE
+    shard_map program; physics invariants hold and metrics are global."""
+    from fthmc_tpu.config import HMCConfig
+    from fthmc_tpu.parallel.domain import make_rows_mesh, run_domain_hmc
+    mesh = make_rows_mesh(8)
+    cfg = HMCConfig(beta=2.0, L=16, tau=1.0, nstep=16, ntraj=256,
+                    n_chains=8, randinit=True, seed=3)
+    x, hist = run_domain_hmc(mesh, cfg)
+    assert np.asarray(x).shape == (8, 2, 16, 16)
+    h = {k: np.asarray(v) for k, v in hist.items()}
+    assert h["acc"].shape == (256, 8)
+    assert set(np.unique(h["acc"])) <= {0.0, 1.0}
+    t = 64
+    # exactness: <exp(-dH)> ~ 1; <plaq> ~ 0.69777 (loose: short run)
+    assert abs(h["exp_mdh"][t:].mean() - 1.0) < 0.05
+    assert abs(h["plaq"][t:].mean() - 0.69777) < 0.02
+    # integer topological charge on the global lattice
+    q = h["q"][t:]
+    assert np.allclose(q, np.round(q), atol=1e-3)

@@ -75,3 +75,25 @@ def test_domain_fthmc_step_runs(params2, spec2):
     assert np.all(np.isfinite(np.asarray(dh)))
     assert set(np.unique(np.asarray(acc))) <= {0.0, 1.0}
     assert z1.shape == z.shape
+
+
+def test_run_domain_fthmc_whole_run_driver(params2, spec2):
+    """Production whole-run FT-HMC scan on the rows mesh (round 3):
+    exactness (<exp(-dH)> ~ 1) and global metrics."""
+    from fthmc_tpu.config import LeapfrogConfig
+    from fthmc_tpu.parallel.domain import make_rows_mesh
+    from fthmc_tpu.parallel.domain_flow import run_domain_fthmc_chunked
+    mesh = make_rows_mesh(8)
+    z0 = jax.random.uniform(jax.random.PRNGKey(5), (4, 2, L0, L0),
+                            jnp.float32, -np.pi, np.pi)
+    lf = LeapfrogConfig(tau=1.0, nstep=12)
+    z, hist = run_domain_fthmc_chunked(
+        mesh, params2, spec2, lf, beta=2.0, ntraj=48, z0=z0,
+        key=jax.random.PRNGKey(6), block=24)
+    assert np.asarray(z).shape == (4, 2, L0, L0)
+    assert hist["acc"].shape == (48, 4)
+    # exactness holds for ANY fixed flow (MH corrects the rest)
+    assert abs(hist["exp_mdh"][12:].mean() - 1.0) < 0.2
+    assert np.isfinite(hist["dh"]).all()
+    q = hist["q"]
+    assert np.allclose(q, np.round(q), atol=1e-3)

@@ -141,6 +141,22 @@ def test_grad_clip_trains(spec2):
     assert np.isfinite(hist["loss_dkl"]).all()
 
 
+def test_plateau_never_fires_while_improving():
+    """Regression (round 3): best_loss starts at +inf, where
+    best - thr*|best| = nan and `loss < nan` is False - the unguarded rule
+    never updated best and decayed the LR unconditionally."""
+    from fthmc_tpu.train import _plateau_update_device
+    sched = SchedulerConfig(factor=0.5, patience=2)
+    state = init_train_state(
+        jax.random.PRNGKey(0),
+        TrainConfig(L=8, flow=FlowSpec(n_layers=1, hidden_sizes=(2,))))
+    for i in range(10):  # strictly improving loss
+        state = _plateau_update_device(
+            state, jnp.asarray(1.0 - 0.05 * i), sched, 1e-3)
+    assert float(state.lr_scale) == 1.0
+    assert abs(float(state.best_loss) - 0.55) < 1e-6
+
+
 def test_scheduler_cooldown_device():
     """After an LR reduction the counter restarts at -cooldown: no second
     reduction can fire within cooldown epochs."""
