@@ -22,7 +22,7 @@ from fthmc_tpu import lattice
 from fthmc_tpu.checkpoint import find_and_load_checkpoint
 from fthmc_tpu.config import FlowSpec, LeapfrogConfig, TrainConfig
 from fthmc_tpu.hmc import run_fthmc
-from fthmc_tpu.observables import tau_int
+from fthmc_tpu.observables import chain_stats
 from fthmc_tpu.train import init_train_state
 
 
@@ -39,6 +39,8 @@ def main():
     p.add_argument("--ntraj", type=int, default=768)
     p.add_argument("--block", type=int, default=16)
     p.add_argument("--therm-frac", type=float, default=0.25)
+    p.add_argument("--start", choices=["hot", "cold"], default="hot",
+                   help="cold = z0 = f^{-1}(0); use at beta >= ~5")
     p.add_argument("--n-layers", type=int, default=24)
     p.add_argument("--n-mixture", type=int, default=8)
     p.add_argument("--hidden", type=int, nargs="+", default=[32, 32])
@@ -46,17 +48,22 @@ def main():
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    spec = FlowSpec(n_layers=args.n_layers, coupling="rncp",
-                    n_mixture=args.n_mixture, hidden_sizes=tuple(args.hidden),
-                    s_clip=args.s_clip)
-    cfg = TrainConfig(L=8, beta=args.beta, flow=spec, grad_clip=1.0)
-    state = init_train_state(jax.random.PRNGKey(0), cfg)
-    # find_and_load_checkpoint accepts both parents and bare checkpoint
-    # dirs (and load errors propagate) since round 3
-    found = find_and_load_checkpoint(args.ckpt, state)
-    if found is None:
-        raise SystemExit(f"no checkpoint found at {args.ckpt}")
-    state, meta = found
+    # self-describing checkpoints restore their own spec; legacy ones fall
+    # back to the architecture flags
+    from fthmc_tpu.checkpoint import load_checkpoint_auto
+    found = load_checkpoint_auto(args.ckpt)
+    if found is not None:
+        state, meta, spec, _ = found
+    else:
+        spec = FlowSpec(n_layers=args.n_layers, coupling="rncp",
+                        n_mixture=args.n_mixture,
+                        hidden_sizes=tuple(args.hidden), s_clip=args.s_clip)
+        cfg = TrainConfig(L=8, beta=args.beta, flow=spec, grad_clip=1.0)
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        found = find_and_load_checkpoint(args.ckpt, state)
+        if found is None:
+            raise SystemExit(f"no checkpoint found at {args.ckpt}")
+        state, meta = found
     print("flow restored:", meta, flush=True)
     params = state.params
 
@@ -71,7 +78,12 @@ def main():
         key = jax.numpy.asarray(data["key"])
         print(f"resuming at traj {done}", flush=True)
     else:
-        z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
+        if args.start == "cold":
+            from fthmc_tpu.models.flow import flow_reverse
+            z = flow_reverse(params, jax.numpy.zeros(
+                (args.chains, 2, args.L, args.L)), spec)[0]
+        else:
+            z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
         hist = {"acc": [], "plaq": [], "exp_mdh": [], "q": []}
         done = 0
 
@@ -109,10 +121,9 @@ def main():
         "acc": float(np.asarray(hist["acc"])[therm:].mean()),
         "exp_mdh": float(np.asarray(hist["exp_mdh"])[therm:].mean()),
         "plaq": float(np.asarray(hist["plaq"])[therm:].mean()),
-        "tau_int_q": float(np.mean([tau_int(q[:, c])
-                                    for c in range(q.shape[1])])),
-        "chi_q": float(np.mean(q ** 2)),
         "wall_s": time.time() - t0,
+        "s_per_traj": (time.time() - t0) / max(args.ntraj, 1),
+        **chain_stats(q),
     }
     print("FT-HMC:", json.dumps(res, indent=1, default=str), flush=True)
     with open(os.path.join(args.out, "fthmc_results.json"), "w") as f:

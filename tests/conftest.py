@@ -26,6 +26,72 @@ import pytest  # noqa: E402
 from fthmc_tpu.config import FlowSpec  # noqa: E402
 from fthmc_tpu.models.flow import init_flow_params  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# fast/slow split (round-3): `pytest -m "not slow"` is the <5 min dev loop;
+# CI runs everything. Measured on this host (CPU, --durations): the tests
+# below are the >=8 s tail - statistical windows, Pallas interpret-mode
+# kernels, and whole-run drivers. Centralized here so the split tracks one
+# list instead of scattered decorators.
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {"test_pallas_vjp"}          # 537 s: interpret-mode VJP grid
+_SLOW_TESTS = {
+    ("test_sampling", "test_multichain_keep_fields"),
+    ("test_sampling", "test_multichain_ensemble_shapes_and_independence"),
+    ("test_sampling", "test_generate_ensemble_multichain_reports"),
+    ("test_sampling", "test_identity_flow_uniform_proposals_all_weights_equal"),
+    ("test_train", "test_annealed_training_beta_schedule"),
+    ("test_train", "test_grad_clip_trains"),
+    ("test_train", "test_force_matching_step_runs"),
+    ("test_train", "test_force_matching_with_distillation"),
+    ("test_train", "test_training_improves_loss"),
+    ("test_train", "test_resume_continues_era_numbering"),
+    ("test_pallas", "test_pallas_leapfrog_cl_matches_xla"),
+    ("test_fthmc", "test_run_fthmc_random_flow_exactness"),
+    ("test_fthmc", "test_run_fthmc_chunked"),
+    ("test_fthmc", "test_run_fthmc_identity_flow_exactness"),
+    ("test_fthmc", "test_ft_force_matches_numeric_gradient"),
+    ("test_hmc", "test_run_fthmc_thinned_summary_consistent"),
+    ("test_hmc", "test_run_hmc_thinned_summary_consistent"),
+    ("test_hmc", "test_run_hmc_physics"),
+    ("test_hmc", "test_run_hmc_chunked_matches_shapes"),
+    ("test_mesh", "test_sharded_train_era_matches_single_device"),
+    ("test_mesh", "test_sharded_train_step"),
+    ("test_mesh", "test_sharded_fthmc_runs"),
+    ("test_mesh", "test_sharded_run_fthmc_exactness"),
+    ("test_mesh", "test_sharded_hmc_matches_single_device"),
+    ("test_spline", "test_logdet_matches_autodiff_jacobian"),
+    ("test_spline", "test_fthmc_exact_with_spline_flow"),
+    ("test_domain_flow", "test_ft_action_force_sharded_match"),
+    ("test_domain_flow", "test_run_domain_fthmc_whole_run_driver"),
+    ("test_domain", "test_domain_hmc_step_physics"),
+    ("test_domain", "test_run_domain_hmc_whole_run_driver"),
+    ("test_api", "test_field_transformation_facade"),
+    ("test_pallas_coupling", "test_fused_flow_matches_xla"),
+    ("test_omelyan", "test_run_hmc_omelyan_physics"),
+    ("test_nan_guards", "test_train_step_nan_free"),
+    ("test_mixed_precision", "test_bf16_fthmc_exactness"),
+    ("test_coupling", "test_logdet_matches_autodiff_jacobian"),
+    ("test_mesh", "test_sharded_run_hmc_matches_single_device_statistically"),
+    ("test_mesh", "test_sharded_train_era_annealed"),
+    ("test_lattice", "test_wilson_loop_area_law"),
+    ("test_fthmc", "test_ft_force_identity_flow_matches_plain"),
+    ("test_rncp", "test_force_is_smooth"),
+    ("test_pallas_coupling",
+     "test_fused_layer_logj_antisymmetric_with_reverse"),
+    ("test_train", "test_train_step_metrics_and_update"),
+    ("test_mixed_precision", "test_s_clip_noop_when_small"),
+    ("test_nan_guards", "test_fthmc_step_nan_free"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        base = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or (mod, base) in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spec2() -> FlowSpec:
