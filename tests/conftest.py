@@ -82,6 +82,7 @@ _SLOW_TESTS = {
     ("test_train", "test_train_step_metrics_and_update"),
     ("test_mixed_precision", "test_s_clip_noop_when_small"),
     ("test_nan_guards", "test_fthmc_step_nan_free"),
+    ("test_cli", "test_pipeline_highbeta_smoke"),
 }
 
 

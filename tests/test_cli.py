@@ -20,6 +20,58 @@ def test_parser_subcommands():
     assert a.which == "all"
 
 
+def test_parser_restore_mode_flow_flags_default_none():
+    """sample/fthmc/pipeline default flow flags to None so a
+    self-describing --ckpt's stored spec wins; train keeps real defaults."""
+    p = build_parser()
+    a = p.parse_args(["fthmc", "--ckpt", "x"])
+    assert a.n_layers is None and a.hidden is None and a.coupling is None
+    a = p.parse_args(["fthmc", "--coupling", "rncp"])
+    assert a.coupling == "rncp"
+    a = p.parse_args(["train"])
+    assert a.n_layers == 24 and a.coupling == "ncp"
+    a = p.parse_args(["pipeline", "--mode", "highbeta", "--beta", "6"])
+    assert a.mode == "highbeta" and a.flow_beta == 3.0
+
+
+def test_cli_spec_overrides_layering():
+    import argparse
+    from fthmc_tpu.cli import _cli_spec_overrides, _flow_spec
+    ns = argparse.Namespace(n_layers=None, n_mixture=None, hidden=None,
+                            kernel=None, activation=None, coupling="rncp",
+                            n_knots=None, s_clip=-1.0, conv_dtype=None)
+    ov = _cli_spec_overrides(ns)
+    assert ov == {"coupling": "rncp", "s_clip": None}
+    base = FlowSpec(n_layers=24, coupling="ncp", s_clip=3.0)
+    spec = _flow_spec(ns, base)
+    assert spec.coupling == "rncp" and spec.s_clip is None  # -1 clears
+    assert spec.n_layers == 24                              # base preserved
+
+
+def test_pipeline_highbeta_smoke(tmp_path):
+    """--mode highbeta end-to-end on CPU with a toy flow: train -> FT-HMC
+    at the target beta -> plain baseline -> head-to-head stats."""
+    from fthmc_tpu.cli import main
+    out = main(["pipeline", "--mode", "highbeta", "--L", "8", "--beta",
+                "2.0", "--flow-beta", "2.0", "--flow-L", "8",
+                "--n-layers", "2", "--hidden", "4", "--n-mixture", "2",
+                "--train-steps", "4", "--flow-batch", "4",
+                "--ntraj", "8", "--ft-nstep", "4", "--ft-chains", "2",
+                "--plain-ntraj", "16", "--plain-nstep", "4",
+                "--plain-chains", "2", "--start", "hot",
+                "--outdir", str(tmp_path)])
+    assert "fthmc" in out and "hmc" in out
+    assert 0.0 <= out["fthmc"]["acc"] <= 1.0
+    assert "tau_int_q_err" in out["hmc"]
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "pipeline_results.json"))
+    # the trained flow checkpoint is self-describing
+    from fthmc_tpu.checkpoint import load_checkpoint_auto
+    found = load_checkpoint_auto(
+        os.path.join(str(tmp_path), "flow", "checkpoints"))
+    assert found is not None and found[2].coupling == "rncp"
+
+
 def test_json_config_roundtrip(tmp_path):
     raw = {
         "L": 16, "beta": 3.0,
