@@ -179,6 +179,43 @@ def bench_train(L: int = 8, batch: int = 64, beta: float = 2.0,
     }
 
 
+def bench_flow_sampling(L: int = 8, n_chains: int = 64,
+                        batch_size: int = 64, beta: float = 2.0,
+                        n_layers: int = 16, num_samples: int = 512,
+                        repeats: int = 3) -> dict:
+    """Multi-chain independence-Metropolis throughput (samples/sec/chip).
+
+    The reference chain is single-serial and host-driven
+    (samplers.py:129-259); here n_chains advance in lockstep inside one
+    compiled program (sampling._ensemble_scan), so throughput scales with
+    the chain count until the flow evaluation saturates the chip.
+    """
+    from fthmc_tpu.sampling import make_mcmc_ensemble
+    spec = FlowSpec(n_layers=n_layers, n_mixture=2, hidden_sizes=(8, 8))
+    params = init_flow_params(jax.random.PRNGKey(0), spec)
+    hist = make_mcmc_ensemble(params, spec, beta=beta, L=L,
+                              batch_size=batch_size,
+                              num_samples=num_samples,
+                              key=jax.random.PRNGKey(1), n_chains=n_chains)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        hist = make_mcmc_ensemble(params, spec, beta=beta, L=L,
+                                  batch_size=batch_size,
+                                  num_samples=num_samples,
+                                  key=jax.random.PRNGKey(2 + i),
+                                  n_chains=n_chains)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    val = n_chains * num_samples / dt
+    return {
+        "metric": f"flow_sampling_samples_per_sec_L{L}_K{n_chains}",
+        "value": val,
+        "unit": "chain-samples/s/chip",
+        "accept_rate": float(np.mean(hist["acc"])),
+    }
+
+
 def run_benchmarks(L: int = 64, chains: int = 1024, beta: float = 6.0,
                    which: str = "hmc") -> dict:
     out = {}
@@ -191,4 +228,7 @@ def run_benchmarks(L: int = 64, chains: int = 1024, beta: float = 6.0,
     if which in ("train", "all"):
         out["train"] = bench_train()
         print(out["train"])
+    if which in ("sample", "all"):
+        out["sample"] = bench_flow_sampling()
+        print(out["sample"])
     return out

@@ -707,7 +707,7 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--chains", type=int, default=1024)
     sp.add_argument("--which", type=str, default="hmc",
-                    choices=["hmc", "fthmc", "train", "all"])
+                    choices=["hmc", "fthmc", "train", "sample", "all"])
     sp.set_defaults(fn=cmd_bench)
     return p
 
