@@ -55,6 +55,11 @@ def main():
     p.add_argument("--block", type=int, default=32)
     p.add_argument("--time-reps", type=int, default=3)
     p.add_argument("--time-traj", type=int, default=16)
+    p.add_argument("--pairs", nargs="+", default=None,
+                   help="explicit tau:nstep points (e.g. 0.5:16 1.0:128); "
+                        "overrides the --taus x --nsteps grid so one "
+                        "process can scan a sparse set (fresh-process "
+                        "compiles are expensive on this infra)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -74,9 +79,15 @@ def main():
         z0 = lattice.hot_start(key, args.chains, args.L)
     jax.block_until_ready(z0)
 
+    if args.pairs:
+        points = [(float(s.split(":")[0]), int(s.split(":")[1]))
+                  for s in args.pairs]
+    else:
+        points = [(tau, nstep) for tau in args.taus
+                  for nstep in args.nsteps]
+
     results = {"args": vars(args), "points": []}
-    for tau in args.taus:
-        for nstep in args.nsteps:
+    for tau, nstep in points:
             lf = LeapfrogConfig(tau=tau, nstep=nstep)
             key, krun, ktime = jax.random.split(key, 3)
             t0 = time.time()

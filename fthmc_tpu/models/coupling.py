@@ -88,6 +88,44 @@ class CouplingOut(NamedTuple):
     logJ: jnp.ndarray   # per-chain log-Jacobian, shape (B,)
 
 
+def _clip_s(s: jnp.ndarray, spec: FlowSpec) -> jnp.ndarray:
+    if spec.s_clip is None:
+        return s
+    c = spec.s_clip
+    return c * jnp.tanh(s / c)
+
+
+def plaq_transform_apply(net_out, plaq, active, spec: FlowSpec):
+    """Active-plaquette transform from the raw conditioner output channels.
+
+    Single source of truth for the per-family channel split, s_clip, and
+    value/log-Jacobian math — shared by the single-device couplings below
+    and the row-sharded flow (parallel/domain_flow), so the replicated and
+    domain-decomposed paths cannot drift.
+
+    net_out: (B, C, L, L) raw CNN output; plaq/active: (B, L, L)/(L, L).
+    Returns (fx1 (B,L,L) transform of the active plaquettes (pre-mask),
+             local_logJ (B,L,L) active-masked, t (B,L,L) offset channel).
+    """
+    x1 = (active * plaq)[:, None]
+    if spec.coupling == "rncp":
+        M = spec.n_mixture
+        s, r, t = net_out[:, :M], net_out[:, M:2 * M], net_out[:, 2 * M]
+        s = _clip_s(s, spec)
+        local_logJ = active * rotated_mixture_logJ(x1, s, r)
+        fx1 = rotated_mixture_transform(x1, s, r)
+    elif spec.coupling == "ncp":
+        s, t = net_out[:, :-1], net_out[:, -1]
+        s = _clip_s(s, spec)
+        local_logJ = active * mixture_tan_transform_logJ(x1, s)
+        fx1 = active * mixture_tan_transform(x1, s)[:, 0]
+    else:
+        raise NotImplementedError(
+            f"shared plaquette transform for coupling={spec.coupling!r} "
+            "(spline couplings are sampling-only; see models/spline.py)")
+    return fx1, local_logJ, t
+
+
 # ---------------------------------------------------------------------------
 # NCP plaquette coupling (acts on the plaquette-angle field)
 # ---------------------------------------------------------------------------
@@ -120,12 +158,11 @@ def plaq_coupling_forward(
     shape = tuple(plaq.shape[-2:])
     frozen, active, passive = (jnp.asarray(m, plaq.dtype)
                                for m in plaq_masks(shape, mu, off))
-    s, t = _net_s_t(net_params, frozen, plaq, spec)
-
-    x1 = (active * plaq)[:, None]                       # (B,1,L,L)
-    local_logJ = active * mixture_tan_transform_logJ(x1, s)
+    compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
+    net_out = conv_net_apply(net_params, stack_cos_sin(frozen * plaq),
+                             spec.activation, compute_dtype=compute_dtype)
+    fx1, local_logJ, t = plaq_transform_apply(net_out, plaq, active, spec)
     logJ = jnp.sum(local_logJ, axis=(1, 2))
-    fx1 = active * mixture_tan_transform(x1, s)[:, 0]
     fx = active * wrap_pi(fx1 + t) + passive * plaq + frozen * plaq
     return CouplingOut(fx, logJ)
 
@@ -236,12 +273,11 @@ def rncp_plaq_coupling_forward(
     shape = tuple(plaq.shape[-2:])
     frozen, active, passive = (jnp.asarray(m, plaq.dtype)
                                for m in plaq_masks(shape, mu, off))
-    s, r, t = _net_s_r_t(net_params, frozen, plaq, spec)
-
-    x1 = (active * plaq)[:, None]
-    local_logJ = active * rotated_mixture_logJ(x1, s, r)
+    compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
+    net_out = conv_net_apply(net_params, stack_cos_sin(frozen * plaq),
+                             spec.activation, compute_dtype=compute_dtype)
+    fx1, local_logJ, t = plaq_transform_apply(net_out, plaq, active, spec)
     logJ = jnp.sum(local_logJ, axis=(1, 2))
-    fx1 = rotated_mixture_transform(x1, s, r)
     fx = active * wrap_pi(fx1 + t) + passive * plaq + frozen * plaq
     return CouplingOut(fx, logJ)
 

@@ -26,9 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fthmc_tpu import lattice
 from fthmc_tpu.config import FlowSpec
-from fthmc_tpu.models.coupling import (mixture_tan_transform,
-                                       mixture_tan_transform_logJ,
-                                       stack_cos_sin, wrap_pi)
+from fthmc_tpu.models.coupling import (plaq_transform_apply, stack_cos_sin,
+                                       wrap_pi)
 from fthmc_tpu.models.masks import (layer_mask_params, link_active_stripes,
                                     plaq_masks)
 from fthmc_tpu.ops.conv import ACTIVATIONS
@@ -109,12 +108,8 @@ def _link_coupling_forward_sharded(net_params, x, mu, off, spec: FlowSpec,
     net_out = _conv_net_apply_sharded(
         net_params, stack_cos_sin(frozen * plaq), spec.activation,
         axis_name)
-    s, t = net_out[:, :-1], net_out[:, -1]
-
-    x1 = (active * plaq)[:, None]
-    local_logJ = active * mixture_tan_transform_logJ(x1, s)
+    fx1, local_logJ, t = plaq_transform_apply(net_out, plaq, active, spec)
     logJ = jnp.sum(local_logJ, axis=(1, 2))  # psum'd by the caller
-    fx1 = active * mixture_tan_transform(x1, s)[:, 0]
     new_plaq = active * wrap_pi(fx1 + t) + passive * plaq + frozen * plaq
 
     delta_plaq = new_plaq - plaq

@@ -97,3 +97,67 @@ def test_run_domain_fthmc_whole_run_driver(params2, spec2):
     assert np.isfinite(hist["dh"]).all()
     q = hist["q"]
     assert np.allclose(q, np.round(q), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# rncp + s_clip parity (round-3 regression: the domain path used to hardcode
+# the plain-NCP channel split and skip s_clip, which silently produced a
+# wrong force for the production rncp flow — acc=0 on the real-TPU check).
+# ---------------------------------------------------------------------------
+
+import pytest
+from fthmc_tpu.config import FlowSpec
+from fthmc_tpu.models.flow import init_flow_params
+
+
+@pytest.fixture(scope="module")
+def spec2r() -> FlowSpec:
+    """Tiny rncp spec WITH s_clip — the production family's code paths."""
+    return FlowSpec(n_layers=2, n_mixture=2, hidden_sizes=(4,),
+                    kernel_size=3, coupling="rncp", s_clip=3.0)
+
+
+@pytest.fixture(scope="module")
+def params2r(spec2r):
+    return init_flow_params(jax.random.PRNGKey(9), spec2r)
+
+
+def test_flow_forward_sharded_matches_rncp(params2r, spec2r):
+    mesh = _mesh()
+    x = jax.random.uniform(jax.random.PRNGKey(10), (2, 2, L0, L0),
+                           jnp.float32, -3.0, 3.0)
+    f = _shardmapped(
+        mesh,
+        lambda xx: flow_forward_sharded(params2r, xx, spec2r, L0, "rows"),
+        (P(None, None, "rows", None), P()))
+    y_sh, ld_sh = f(_place(mesh, x))
+    y_ref, ld_ref = flow_forward(params2r, x, spec2r)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld_sh), np.asarray(ld_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_ft_force_sharded_matches_rncp(params2r, spec2r):
+    mesh = _mesh()
+    z = jax.random.uniform(jax.random.PRNGKey(11), (2, 2, L0, L0),
+                           jnp.float32, -2.0, 2.0)
+    g = _shardmapped(
+        mesh,
+        lambda zz: ft_force_sharded(params2r, spec2r, zz, 3.0, L0, "rows"),
+        P(None, None, "rows", None))
+    np.testing.assert_allclose(np.asarray(g(_place(mesh, z))),
+                               np.asarray(ft_force(params2r, spec2r, z, 3.0)),
+                               atol=5e-4)
+
+
+def test_domain_spline_raises(params2, spec2):
+    """Spline couplings are sampling-only; the shared transform must refuse
+    rather than silently mis-slice channels."""
+    from fthmc_tpu.models.coupling import plaq_transform_apply
+    spec_sp = FlowSpec(n_layers=2, n_mixture=2, hidden_sizes=(4,),
+                       coupling="spline")
+    net_out = jnp.zeros((1, 5, 4, 4))
+    with pytest.raises(NotImplementedError):
+        plaq_transform_apply(net_out, jnp.zeros((1, 4, 4)),
+                             jnp.ones((4, 4)), spec_sp)
