@@ -224,6 +224,13 @@ def cmd_train(args) -> dict:
                              cooldown=getattr(args, "sched_cooldown", 0))
              if args.scheduler else None)
 
+    live = None
+    if getattr(args, "live_plot", False):
+        from fthmc_tpu.utils.plotting import LiveJointPlot
+        live = LiveJointPlot(outdir=outdir,
+                             title=f"{cfg.L}x{cfg.L} beta={cfg.beta}")
+    live_hist = {"loss_dkl": [], "ess": []}
+
     def cb(step, metrics):
         if step % cfg.log_freq == 0:
             writer.write(step, metrics, prefix="training")
@@ -233,6 +240,11 @@ def cmd_train(args) -> dict:
                  ("loss_dkl", "ess", "plaq", "dq", "dq_mean", "lr_scale")
                  if k in metrics},
                 pre=[f"step={step}"])
+        if live is not None:
+            live_hist["loss_dkl"].append(float(metrics["loss_dkl"]))
+            live_hist["ess"].append(float(metrics["ess"]))
+            if step % max(cfg.plot_freq, 1) == 0:
+                live.update(live_hist["loss_dkl"], live_hist["ess"])
 
     def ckpt(era, st, history):
         save_checkpoint(ckptdir, st, era=era, epoch=cfg.n_epoch,
@@ -246,6 +258,10 @@ def cmd_train(args) -> dict:
                            checkpoint_fn=ckpt, start_era=start_era,
                            mesh=_maybe_mesh(args))
     wall = time.time() - t0
+    if live is not None:
+        if live_hist["loss_dkl"]:
+            live.update(live_hist["loss_dkl"], live_hist["ess"])
+        live.close()
     save_history({k: np.asarray(v, dtype=np.float64)
                   for k, v in history.items() if np.ndim(v[0]) == 0},
                  os.path.join(outdir, "train_history.npz"))
@@ -625,6 +641,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sched-factor", type=float, default=0.5)
     sp.add_argument("--sched-patience", type=int, default=10)
     sp.add_argument("--sched-cooldown", type=int, default=0)
+    sp.add_argument("--live-plot", action="store_true",
+                    help="live twin-axis loss/ESS monitor (display-handle "
+                         "updates in notebooks, throttled PNG headless)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample")

@@ -78,3 +78,29 @@ def test_logger_prints(capsys):
     log.print_metrics({"x": 1.0})
     out = capsys.readouterr().out
     assert "hello" in out and "x=1" in out
+
+
+def test_moving_average():
+    from fthmc_tpu.utils.plotting import moving_average
+    x = np.arange(10.0)
+    y = moving_average(x, window=3)
+    assert len(y) == 8 and abs(y[0] - 1.0) < 1e-12   # mean(0,1,2)
+    # shorter-than-window passes through
+    assert np.array_equal(moving_average(x[:2], window=5), x[:2])
+
+
+def test_live_joint_plot_headless(tmp_path):
+    """Live loss/ESS monitor (reference plot_helpers.py:287-343,:444-481):
+    headless fallback saves a PNG per update throttle."""
+    from fthmc_tpu.utils.plotting import LiveJointPlot
+    lp = LiveJointPlot(outdir=str(tmp_path), save_every=2)
+    loss, ess = [], []
+    for i in range(6):
+        loss.append(1.0 / (i + 1))
+        ess.append(0.1 * (i + 1))
+        lp.update(loss, ess)
+    fname = os.path.join(str(tmp_path), "live_training.png")
+    assert os.path.exists(fname)
+    # 2D (chain-axis) histories are averaged, longer series still render
+    lp.update(np.tile(np.asarray(loss)[:, None], (1, 4)), ess)
+    lp.close()
