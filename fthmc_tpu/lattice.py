@@ -182,6 +182,24 @@ def batch_wilson_loops(x: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
     return jax.vmap(lambda y: wilson_loop(y, R, T))(x)
 
 
+def polyakov_loop(x: jnp.ndarray, mu: int = 0) -> jnp.ndarray:
+    """Volume-averaged Polyakov loop winding the mu direction of one
+    config: (2, L0, L1) -> complex scalar.
+
+    P(y_perp) = exp(i sum_{y_mu} theta_mu(y)); returns mean_perp P. Gauge
+    invariant (the transform telescopes around the winding cycle). Its
+    modulus/correlators probe the static-charge free energy; a beyond-
+    reference observable (the reference computes only plaquettes and Q).
+    """
+    theta = jnp.sum(x[mu], axis=mu)
+    return jnp.mean(jnp.exp(1j * theta.astype(jnp.complex64)))
+
+
+def batch_polyakov_loops(x: jnp.ndarray, mu: int = 0) -> jnp.ndarray:
+    """(B, 2, L0, L1) -> complex (B,) volume-averaged Polyakov loop."""
+    return jax.vmap(lambda y: polyakov_loop(y, mu))(x)
+
+
 def gauge_transform(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Apply a gauge transformation alpha: (L0, L1) to links x: (2, L0, L1).
 

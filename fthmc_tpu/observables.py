@@ -19,7 +19,7 @@ import numpy as np
 
 __all__ = ["calc_dkl", "calc_ess", "bootstrap", "topo_susceptibility",
            "tau_int", "tau_int_err", "chain_stats", "blocked_dq_sq_vs_dt",
-           "acceptance_rate"]
+           "acceptance_rate", "creutz_ratio", "string_tension_exact"]
 
 
 # ---------------------------------------------------------------------------
@@ -193,3 +193,26 @@ def blocked_dq_sq_vs_dt(q: np.ndarray, dt_range: int = 10,
                if nb > 1 else 0.0)
         out.append((dt, mean, err))
     return out
+
+
+def creutz_ratio(W: np.ndarray, R: int, T: int) -> float:
+    """Creutz ratio chi(R,T) = -log[ W(R,T) W(R-1,T-1) / (W(R,T-1) W(R-1,T)) ]
+    from a table of Wilson-loop expectations W[R][T] (W[0][*] = W[*][0] = 1).
+
+    Estimates the string tension; in 2D U(1) the area law is exact, so
+    chi(R,T) = -log(I1(beta)/I0(beta)) for ALL R,T - a parameter-free
+    validation invariant (lattice.PLAQ_EXACT is the Bessel ratio).
+    Beyond-reference observable (the reference computes only plaq and Q).
+    """
+    W = np.asarray(W, dtype=np.float64)
+    return float(-np.log(W[R, T] * W[R - 1, T - 1]
+                         / (W[R, T - 1] * W[R - 1, T])))
+
+
+def string_tension_exact(beta: float) -> float:
+    """Exact 2D U(1) string tension sigma = -log(I1(beta)/I0(beta)) (lattice
+    units), the target of creutz_ratio on equilibrated ensembles."""
+    from fthmc_tpu.lattice import PLAQ_EXACT
+    if beta not in PLAQ_EXACT:
+        raise KeyError(f"no exact plaquette tabulated for beta={beta}")
+    return float(-np.log(PLAQ_EXACT[beta]))

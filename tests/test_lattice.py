@@ -109,3 +109,41 @@ def test_plaq_exact_table_sanity(beta):
     from scipy import special  # scipy is available in the image
     expect = special.iv(1, beta) / special.iv(0, beta)
     assert abs(lattice.PLAQ_EXACT[beta] - expect) < 1e-6
+
+
+def test_polyakov_loop_gauge_invariant(x_batch):
+    key = jax.random.PRNGKey(21)
+    p0 = np.asarray(lattice.batch_polyakov_loops(x_batch))
+    p1 = np.asarray(lattice.batch_polyakov_loops(
+        lattice.random_gauge_transform(key, x_batch)))
+    np.testing.assert_allclose(p0, p1, atol=1e-4)
+    # winding the other cycle is also gauge invariant
+    p2 = np.asarray(lattice.batch_polyakov_loops(x_batch, mu=1))
+    p3 = np.asarray(lattice.batch_polyakov_loops(
+        lattice.random_gauge_transform(key, x_batch), mu=1))
+    np.testing.assert_allclose(p2, p3, atol=1e-4)
+
+
+def test_polyakov_cold_start_is_one():
+    x = lattice.cold_start(8)[None]
+    p = np.asarray(lattice.batch_polyakov_loops(x))
+    np.testing.assert_allclose(p, 1.0 + 0.0j, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_creutz_ratio_matches_exact_string_tension():
+    """chi(R,T) = -log(I1/I0) for all R,T in 2D U(1) (exact area law)."""
+    from fthmc_tpu.config import HMCConfig
+    from fthmc_tpu.hmc import run_hmc
+    from fthmc_tpu.observables import creutz_ratio, string_tension_exact
+    cfg = HMCConfig(beta=2.0, L=8, tau=2.0, nstep=10, ntraj=400,
+                    n_chains=32, randinit=True, seed=17)
+    x, _ = run_hmc(cfg)
+    W = np.ones((3, 3))
+    for R in range(1, 3):
+        for T in range(1, 3):
+            W[R, T] = float(np.mean(np.asarray(
+                lattice.batch_wilson_loops(x, R, T))))
+    sigma = string_tension_exact(2.0)
+    for (R, T) in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        assert abs(creutz_ratio(W, R, T) - sigma) < 0.1, (R, T)
