@@ -288,9 +288,11 @@ def cmd_sample(args, state=None, spec=None) -> dict:
     out = generate_ensemble(
         state.params, spec, beta=args.beta, L=args.L,
         ensemble_size=args.ensemble_size, batch_size=args.batch_size,
+        n_chains=getattr(args, "sample_chains", 1),
         key=jax.random.PRNGKey(args.seed))
     logger.print_metrics({k: out[k] for k in
-                          ("accept_rate", "suscept_mean", "suscept_err")})
+                          ("accept_rate", "suscept_mean", "suscept_err",
+                           "tau_int_q", "tau_int_q_err") if k in out})
     return out
 
 
@@ -652,6 +654,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ckpt", type=str, default=None)
     sp.add_argument("--ensemble-size", type=int, default=8192)
     sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--sample-chains", type=int, default=1,
+                    help=">1 runs that many independent on-device chains "
+                         "and reports cross-chain chi_Q errors + tau_int")
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("fthmc")
