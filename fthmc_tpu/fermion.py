@@ -1,0 +1,263 @@
+"""Wilson fermions on the 2D U(1) lattice: Dirac operator, batched CG,
+pseudofermion action/force. TPU-native (complex64, roll-stencils, while_loop
+CG, everything jit/scan-safe).
+
+This is a BEYOND-REFERENCE capability: nftqcd/fthmc is pure-gauge only. Its
+own motivation paper (arXiv:2112.01586) and our round-3 cost ladder
+(BENCH.md) both conclude that field-transformed HMC pays off in wall-clock
+only when the force is expensive — i.e. with dynamical fermions, where every
+force evaluation costs a Krylov solve instead of one sin-stencil. This module
+supplies that regime: the two-flavor Schwinger model
+    S = S_gauge(theta) + phi^dag (D^dag D)^{-1} phi,
+with D the Wilson-Dirac operator (r = 1), so det(D^dag D) = det(D)^2 = two
+degenerate flavors.
+
+Conventions
+-----------
+Gauge field ``theta``: (2, L0, L1) link angles, U_mu(x) = exp(i theta_mu(x))
+(same layout as fthmc_tpu.lattice). Fermion field ``psi``: (L0, L1, 2)
+complex64, last axis = spinor. Batched chains prepend a leading axis B to
+BOTH; all functions below take either rank (they only roll axes -3/-2).
+
+Euclidean 2D gamma matrices: gamma_0 = sigma_x, gamma_1 = sigma_y,
+gamma_5 = sigma_z;  gamma_5 D gamma_5 = D^dag (gamma5-hermiticity, tested).
+
+Boundary conditions: periodic in space (axis 1), antiperiodic in time
+(axis 0) — implemented by flipping the sign of the time-direction link on
+the last time slice (absorbed into an effective link field, so forward and
+backward hops stay exactly adjoint).
+
+Wilson-Dirac operator (r = 1):
+    (D psi)(x) = (m + 2) psi(x)
+        - 1/2 sum_mu [ (1 - gamma_mu) U_mu(x)        psi(x + mu)
+                     + (1 + gamma_mu) U_mu(x - mu)^*  psi(x - mu) ]
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fthmc_tpu import lattice
+
+__all__ = [
+    "dirac", "dirac_dag", "apply_mdagm", "cg_solve", "pf_refresh",
+    "pf_action_exact", "pf_action_lin", "pf_force", "CGResult",
+    "chiral_condensate",
+]
+
+
+def _links(theta: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Effective complex link fields (u0, u1), each (..., L0, L1), with the
+    antiperiodic time boundary folded into u0's last time slice."""
+    u = jnp.exp(1j * theta.astype(jnp.float32))
+    u0, u1 = u[..., 0, :, :], u[..., 1, :, :]
+    L0 = theta.shape[-2]
+    # antiperiodic in time: the hop that wraps x0 = L0-1 -> 0 picks up -1
+    sign = jnp.where(jnp.arange(L0) == L0 - 1, -1.0, 1.0)[:, None]
+    return u0 * sign, u1
+
+
+def dirac(theta: jnp.ndarray, psi: jnp.ndarray, mass: float) -> jnp.ndarray:
+    """Apply the Wilson-Dirac operator D(theta) to psi.
+
+    theta: (..., 2, L0, L1) real; psi: (..., L0, L1, 2) complex.
+    Batched shapes broadcast (leading axes must match).
+    """
+    u0, u1 = _links(theta)
+    u0 = u0[..., None]          # (..., L0, L1, 1) broadcast over spinor
+    u1 = u1[..., None]
+
+    # forward hops: U_mu(x) psi(x + mu)
+    fwd0 = u0 * jnp.roll(psi, -1, axis=-3)
+    fwd1 = u1 * jnp.roll(psi, -1, axis=-2)
+    # backward hops: U_mu(x - mu)^* psi(x - mu)
+    bwd0 = jnp.roll(jnp.conj(u0) * psi, 1, axis=-3)
+    bwd1 = jnp.roll(jnp.conj(u1) * psi, 1, axis=-2)
+
+    # spinor projectors, gamma_0 = sigma_x: (1 -+ gamma_0) psi
+    def p0m(s):  # (1 - gamma_0) s = (s0 - s1, s1 - s0)
+        return jnp.stack((s[..., 0] - s[..., 1], s[..., 1] - s[..., 0]),
+                         axis=-1)
+
+    def p0p(s):  # (1 + gamma_0) s
+        return jnp.stack((s[..., 0] + s[..., 1], s[..., 1] + s[..., 0]),
+                         axis=-1)
+
+    # gamma_1 = sigma_y: (1 - gamma_1) s = (s0 + i s1, s1 - i s0)
+    def p1m(s):
+        return jnp.stack((s[..., 0] + 1j * s[..., 1],
+                          s[..., 1] - 1j * s[..., 0]), axis=-1)
+
+    def p1p(s):
+        return jnp.stack((s[..., 0] - 1j * s[..., 1],
+                          s[..., 1] + 1j * s[..., 0]), axis=-1)
+
+    hop = p0m(fwd0) + p0p(bwd0) + p1m(fwd1) + p1p(bwd1)
+    return (mass + 2.0) * psi - 0.5 * hop
+
+
+def _g5(psi: jnp.ndarray) -> jnp.ndarray:
+    """gamma_5 psi (gamma_5 = sigma_z)."""
+    return jnp.stack((psi[..., 0], -psi[..., 1]), axis=-1)
+
+
+def dirac_dag(theta: jnp.ndarray, psi: jnp.ndarray,
+              mass: float) -> jnp.ndarray:
+    """D^dag psi = gamma_5 D gamma_5 psi (gamma5-hermiticity)."""
+    return _g5(dirac(theta, _g5(psi), mass))
+
+
+def apply_mdagm(theta: jnp.ndarray, psi: jnp.ndarray,
+                mass: float) -> jnp.ndarray:
+    """M psi with M = D^dag D (hermitian positive definite)."""
+    return dirac_dag(theta, dirac(theta, psi, mass), mass)
+
+
+def _cdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-chain complex inner product <a, b>, reducing the last 3 axes.
+    Shapes (..., L0, L1, 2) -> (...)."""
+    return jnp.sum(jnp.conj(a) * b, axis=(-3, -2, -1))
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray        # solution, same shape as b
+    iters: jnp.ndarray    # scalar int32: iterations used (max over batch)
+    rsq: jnp.ndarray      # per-chain final |r|^2 / |b|^2
+
+
+@partial(jax.jit, static_argnames=("mass", "tol", "maxiter"))
+def cg_solve(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
+             x0: jnp.ndarray | None = None, *, tol: float = 1e-8,
+             maxiter: int = 1000) -> CGResult:
+    """Batched conjugate gradient for (D^dag D) x = b.
+
+    One while_loop drives ALL chains; converged chains freeze (their alpha
+    and beta are masked to zero) so late chains don't destabilize early
+    ones. ``tol`` is on |r|^2 / |b|^2 (i.e. tol=1e-8 means relative
+    residual 1e-4).
+    """
+    bsq = jnp.real(_cdot(b, b))
+    stop = tol * bsq
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - apply_mdagm(theta, x, mass)
+    p = r
+    rsq = jnp.real(_cdot(r, r))
+
+    def cond(carry):
+        x, r, p, rsq, k = carry
+        return jnp.logical_and(jnp.any(rsq > stop), k < maxiter)
+
+    def body(carry):
+        x, r, p, rsq, k = carry
+        active = rsq > stop
+        mp = apply_mdagm(theta, p, mass)
+        denom = jnp.real(_cdot(p, mp))
+        alpha = jnp.where(active, rsq / jnp.maximum(denom, 1e-30), 0.0)
+        al = alpha[..., None, None, None].astype(b.dtype)
+        x = x + al * p
+        r = r - al * mp
+        rsq_new = jnp.real(_cdot(r, r))
+        beta = jnp.where(active, rsq_new / jnp.maximum(rsq, 1e-30), 0.0)
+        p = r + beta[..., None, None, None].astype(b.dtype) * p
+        rsq = jnp.where(active, rsq_new, rsq)
+        return (x, r, p, rsq, k + 1)
+
+    x, r, p, rsq, k = jax.lax.while_loop(cond, body, (x, r, p, rsq, 0))
+    return CGResult(x, k, rsq / jnp.maximum(bsq, 1e-30))
+
+
+@partial(jax.jit, static_argnames=("mass",))
+def pf_refresh(key: jax.Array, theta: jnp.ndarray, mass: float):
+    """Pseudofermion heatbath at fixed theta.
+
+    Draw chi ~ CN(0,1) per component (P(chi) ~ exp(-chi^dag chi)), set
+    phi = D^dag chi. Then S_pf(theta, phi) = chi^dag chi EXACTLY at the
+    refresh point — returned as ``s0`` so the Metropolis start energy needs
+    no solve. Returns (phi, s0) with s0 shape (...,) per chain.
+    """
+    shape = theta.shape[:-3] + theta.shape[-2:] + (2,)
+    kr, ki = jax.random.split(key)
+    chi = (jax.random.normal(kr, shape) +
+           1j * jax.random.normal(ki, shape)) * math.sqrt(0.5)
+    chi = chi.astype(jnp.complex64)
+    phi = dirac_dag(theta, chi, mass)
+    s0 = jnp.real(_cdot(chi, chi))
+    return phi, s0
+
+
+def pf_action_exact(theta: jnp.ndarray, phi: jnp.ndarray, mass: float, *,
+                    tol: float = 1e-10, maxiter: int = 2000,
+                    x0: jnp.ndarray | None = None):
+    """S_pf = phi^dag (D^dag D)^{-1} phi via a tight CG solve.
+
+    Used for the Metropolis accept (exactness of the algorithm rests on
+    THIS solve, not the force solves). Returns (s, X) so the solution can
+    seed later solves.
+    """
+    res = cg_solve(theta, phi, mass, x0, tol=tol, maxiter=maxiter)
+    return jnp.real(_cdot(phi, res.x)), res.x
+
+
+def pf_action_lin(theta: jnp.ndarray, phi: jnp.ndarray, x_sol: jnp.ndarray,
+                  mass: float) -> jnp.ndarray:
+    """Variational (gradient-exact) form of the pseudofermion action.
+
+        f(theta) = 2 Re<X, phi> - <X, M(theta) X>,   X = stop_grad(M^{-1} phi)
+
+    At the exact solution f = S_pf, and d f / d theta = -X^dag (dM/dtheta) X
+    which IS the exact dS_pf/dtheta — so jax.grad through this expression
+    (with X held fixed) yields the exact fermion force without
+    differentiating the solver. First-order insensitive to CG error in X.
+    """
+    xs = jax.lax.stop_gradient(x_sol)
+    return (2.0 * jnp.real(_cdot(xs, phi))
+            - jnp.real(_cdot(xs, apply_mdagm(theta, xs, mass))))
+
+
+@partial(jax.jit, static_argnames=("mass", "tol", "maxiter"))
+def pf_force(theta: jnp.ndarray, phi: jnp.ndarray, mass: float, *,
+             tol: float = 1e-8, maxiter: int = 1000,
+             x0: jnp.ndarray | None = None):
+    """Fermion force dS_pf/dtheta and the CG solution (for warm-starting).
+
+    For a batch, the returned force is the PER-CHAIN gradient (the sum over
+    chains of S_pf differentiated, which is blockwise == each chain's own
+    gradient since chains don't couple).
+    """
+    res = cg_solve(theta, phi, mass, x0, tol=tol, maxiter=maxiter)
+
+    def s(th):
+        return jnp.sum(pf_action_lin(th, phi, res.x, mass))
+
+    return jax.grad(s)(theta), res.x
+
+
+@partial(jax.jit, static_argnames=("mass", "n_noise", "tol", "maxiter"))
+def chiral_condensate(key: jax.Array, theta: jnp.ndarray, mass: float, *,
+                      n_noise: int = 8, tol: float = 1e-8,
+                      maxiter: int = 2000) -> jnp.ndarray:
+    """Stochastic estimate of <psibar psi> = (1/V) Tr D^{-1} per chain.
+
+    Gaussian noise eta, D^{-1} eta = (D^dag D)^{-1} D^dag eta; averages
+    Re<eta, D^{-1} eta> / (V * n_spin) over n_noise vectors.
+    """
+    vol = theta.shape[-2] * theta.shape[-1] * 2
+
+    def one(k):
+        kr, ki = jax.random.split(k)
+        shape = theta.shape[:-3] + theta.shape[-2:] + (2,)
+        eta = ((jax.random.normal(kr, shape) +
+                1j * jax.random.normal(ki, shape)) *
+               math.sqrt(0.5)).astype(jnp.complex64)
+        rhs = dirac_dag(theta, eta, mass)
+        res = cg_solve(theta, rhs, mass, tol=tol, maxiter=maxiter)
+        return jnp.real(_cdot(eta, res.x))
+
+    keys = jax.random.split(key, n_noise)
+    vals = jax.lax.map(one, keys)
+    return jnp.mean(vals, axis=0) / vol

@@ -1,0 +1,172 @@
+"""Wilson-Dirac operator, CG, and pseudofermion force correctness.
+
+Strategy: build the DENSE Dirac matrix on a tiny lattice by applying
+``dirac`` to unit vectors, then check every property against dense linear
+algebra (hermiticity structure, gamma5-hermiticity, positive-definiteness of
+M = D^dag D, CG vs direct solve, force vs finite differences).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fthmc_tpu import fermion, lattice
+
+L = 4
+MASS = 0.3
+
+
+def _rand_theta(key, batch=None, l=L):
+    shape = ((2, l, l) if batch is None else (batch, 2, l, l))
+    return jax.random.uniform(key, shape, jnp.float32, -math.pi, math.pi)
+
+
+def _dense(theta, mass, op=fermion.dirac):
+    """Dense matrix of a linear operator on (L, L, 2) complex fields."""
+    n = L * L * 2
+    eye = jnp.eye(n, dtype=jnp.complex64).reshape(n, L, L, 2)
+    cols = jax.vmap(lambda v: op(theta, v, mass).reshape(n))(eye)
+    return np.asarray(cols).T  # column j = op(e_j)
+
+
+def test_dirac_dag_is_adjoint():
+    theta = _rand_theta(jax.random.PRNGKey(0))
+    d = _dense(theta, MASS, fermion.dirac)
+    ddag = _dense(theta, MASS, fermion.dirac_dag)
+    np.testing.assert_allclose(ddag, d.conj().T, atol=1e-5)
+
+
+def test_gamma5_hermiticity_dense():
+    """gamma_5 D gamma_5 = D^dag as a dense-matrix identity."""
+    theta = _rand_theta(jax.random.PRNGKey(1))
+    d = _dense(theta, MASS, fermion.dirac)
+    g5 = np.kron(np.eye(L * L), np.diag([1.0, -1.0])).astype(np.complex64)
+    np.testing.assert_allclose(g5 @ d @ g5, d.conj().T, atol=1e-5)
+
+
+def test_mdagm_hermitian_positive_definite():
+    theta = _rand_theta(jax.random.PRNGKey(2))
+    m = _dense(theta, MASS, fermion.apply_mdagm)
+    np.testing.assert_allclose(m, m.conj().T, atol=1e-5)
+    w = np.linalg.eigvalsh(m)
+    assert w.min() > 0
+
+
+def test_free_field_spectrum():
+    """theta = 0, periodic-space/antiperiodic-time plane waves diagonalize
+    the free Wilson operator: eigenvalues of M = |m + 2 - sum cos k|^2 +
+    sum sin^2 k over the allowed momenta."""
+    theta = jnp.zeros((2, L, L), jnp.float32)
+    m = _dense(theta, MASS, fermion.apply_mdagm)
+    w = np.sort(np.linalg.eigvalsh(m))
+    k0 = (2 * np.pi * (np.arange(L) + 0.5)) / L   # antiperiodic
+    k1 = (2 * np.pi * np.arange(L)) / L           # periodic
+    expect = []
+    for a in k0:
+        for b in k1:
+            wil = MASS + 2 - np.cos(a) - np.cos(b)
+            ssq = np.sin(a) ** 2 + np.sin(b) ** 2
+            expect += [wil ** 2 + ssq] * 2       # 2 spinor components
+    np.testing.assert_allclose(w, np.sort(expect), rtol=1e-4)
+
+
+def test_cg_matches_direct_solve():
+    theta = _rand_theta(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+    b = (jax.random.normal(key, (L, L, 2)) +
+         1j * jax.random.normal(jax.random.fold_in(key, 1), (L, L, 2))
+         ).astype(jnp.complex64)
+    res = fermion.cg_solve(theta, b, MASS, tol=1e-12, maxiter=500)
+    m = _dense(theta, MASS, fermion.apply_mdagm)
+    x_direct = np.linalg.solve(m, np.asarray(b).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.x).reshape(-1), x_direct,
+                               atol=2e-4)
+    assert float(res.rsq.max()) < 1e-11
+
+
+def test_cg_batched_converges_per_chain():
+    theta = _rand_theta(jax.random.PRNGKey(5), batch=3)
+    key = jax.random.PRNGKey(6)
+    b = (jax.random.normal(key, (3, L, L, 2)) +
+         1j * jax.random.normal(jax.random.fold_in(key, 1), (3, L, L, 2))
+         ).astype(jnp.complex64)
+    res = fermion.cg_solve(theta, b, MASS, tol=1e-10, maxiter=500)
+    # every chain solved: M x == b per chain
+    mb = fermion.apply_mdagm(theta, res.x, MASS)
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(b), atol=2e-4)
+    assert res.rsq.shape == (3,)
+
+
+def test_pf_refresh_energy_identity():
+    """phi = D^dag chi gives S_pf = chi^dag chi exactly: verify by solving
+    back M^{-1} phi and contracting."""
+    theta = _rand_theta(jax.random.PRNGKey(7), batch=2)
+    phi, s0 = fermion.pf_refresh(jax.random.PRNGKey(8), theta, MASS)
+    s, _ = fermion.pf_action_exact(theta, phi, MASS, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=1e-4)
+
+
+def test_pf_action_lin_value_matches_exact():
+    theta = _rand_theta(jax.random.PRNGKey(9))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(10), theta, MASS)
+    s_exact, x = fermion.pf_action_exact(theta, phi, MASS, tol=1e-12)
+    s_lin = fermion.pf_action_lin(theta, phi, x, MASS)
+    np.testing.assert_allclose(float(s_lin), float(s_exact), rtol=1e-5)
+
+
+def test_pf_force_matches_finite_difference():
+    """dS_pf/dtheta from the variational form vs central finite differences
+    of the tightly-solved exact action (fp32 lattice, so expect ~1e-2 rel)."""
+    theta = _rand_theta(jax.random.PRNGKey(11))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(12), theta, MASS)
+    f, _ = fermion.pf_force(theta, phi, MASS, tol=1e-12, maxiter=800)
+    eps = 1e-3
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        mu, i, j = rng.integers(0, 2), rng.integers(0, L), rng.integers(0, L)
+        dth = jnp.zeros_like(theta).at[mu, i, j].set(eps)
+        sp, _ = fermion.pf_action_exact(theta + dth, phi, MASS, tol=1e-12)
+        sm, _ = fermion.pf_action_exact(theta - dth, phi, MASS, tol=1e-12)
+        fd = (float(sp) - float(sm)) / (2 * eps)
+        assert abs(fd - float(f[mu, i, j])) < 2e-2 * max(1.0, abs(fd)), (
+            (mu, i, j, fd, float(f[mu, i, j])))
+
+
+def test_pf_force_gauge_covariance():
+    """The fermion force, like the action, is invariant under gauge
+    transformations of theta (links rotate, S_pf(theta, phi) with phi also
+    rotated is invariant; check the simpler exact statement: a CONSTANT
+    shift of all theta by a pure-gauge form leaves S_pf invariant when phi
+    is regenerated from the same chi)."""
+    key = jax.random.PRNGKey(13)
+    theta = _rand_theta(key)
+    # gauge transform: theta_mu(x) -> theta_mu(x) + w(x) - w(x + mu)
+    w = jax.random.uniform(jax.random.PRNGKey(14), (L, L), jnp.float32,
+                           -math.pi, math.pi)
+    th2 = jnp.stack((theta[0] + w - jnp.roll(w, -1, axis=0),
+                     theta[1] + w - jnp.roll(w, -1, axis=1)))
+    # spectrum of M is gauge invariant -> compare eigenvalues
+    m1 = np.linalg.eigvalsh(_dense(theta, MASS, fermion.apply_mdagm))
+    m2 = np.linalg.eigvalsh(_dense(th2, MASS, fermion.apply_mdagm))
+    np.testing.assert_allclose(m1, m2, rtol=2e-4)
+
+
+def test_chiral_condensate_free_field():
+    """At theta=0 the condensate is computable exactly in momentum space:
+    <psibar psi> = (1/V) sum_k 2 * wil(k) / (wil(k)^2 + sin^2 k)."""
+    l = 8
+    theta = jnp.zeros((2, l, l), jnp.float32)
+    got = float(fermion.chiral_condensate(
+        jax.random.PRNGKey(15), theta, MASS, n_noise=256, tol=1e-12))
+    k0 = (2 * np.pi * (np.arange(l) + 0.5)) / l
+    k1 = (2 * np.pi * np.arange(l)) / l
+    tot = 0.0
+    for a in k0:
+        for b in k1:
+            wil = MASS + 2 - np.cos(a) - np.cos(b)
+            ssq = np.sin(a) ** 2 + np.sin(b) ** 2
+            tot += 2 * wil / (wil ** 2 + ssq)
+    expect = tot / (l * l * 2)
+    assert abs(got - expect) < 0.05 * abs(expect), (got, expect)
