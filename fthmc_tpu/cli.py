@@ -373,6 +373,64 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
     return stats
 
 
+def cmd_schwinger(args) -> dict:
+    """Dynamical-fermion (two-flavor Schwinger model) sampler: plain HMC,
+    or FT-HMC when --ckpt points at a flow (partial trivialization with a
+    pure-gauge-trained flow; fthmc_tpu/schwinger.py). Beyond-reference
+    capability — the expensive-force regime where FT-HMC wins wall-clock."""
+    from fthmc_tpu.schwinger import (SchwingerConfig, run_fthmc_dyn_chunked,
+                                     run_hmc_dyn_chunked)
+    cfg = SchwingerConfig(
+        L=args.L, beta=args.beta, mass=args.mass, tau=args.tau,
+        nstep=args.nstep, n_chains=args.chains, ntraj=args.ntraj,
+        integrator=args.integrator, warm_start=not args.no_warm_start)
+    ft = bool(args.ckpt)
+    logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
+                f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
+                f"nstep={cfg.nstep}")
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    if ft:
+        state, spec = _load_flow_state(args)
+        if getattr(args, "start", "hot") == "cold":
+            import jax.numpy as jnp
+            from fthmc_tpu.models.flow import flow_reverse
+            z0, _ = flow_reverse(state.params, jnp.zeros(
+                (cfg.n_chains, 2, cfg.L, cfg.L)), spec)
+        else:
+            z0 = lattice.hot_start(key, cfg.n_chains, cfg.L)
+        x, hist = run_fthmc_dyn_chunked(state.params, spec, cfg,
+                                        block=min(cfg.ntraj, args.block),
+                                        z0=z0, key=key)
+    else:
+        x0 = (np.zeros((cfg.n_chains, 2, cfg.L, cfg.L), np.float32)
+              if getattr(args, "start", "hot") == "cold" else None)
+        x, hist = run_hmc_dyn_chunked(
+            cfg, block=min(cfg.ntraj, args.block),
+            x0=None if x0 is None else jax.numpy.asarray(x0), key=key)
+    jax.block_until_ready(x)
+    dt = time.time() - t0
+    stats = _summarize_hmc(hist)
+    stats["s_per_traj"] = dt / cfg.ntraj
+    if args.condensate:
+        from fthmc_tpu.fermion import chiral_condensate
+        y = x
+        if ft:
+            from fthmc_tpu.models.flow import flow_forward
+            y, _ = flow_forward(state.params, x, spec)
+        cc = np.asarray(chiral_condensate(
+            jax.random.fold_in(key, 99), y, cfg.mass, n_noise=8))
+        stats["psibar_psi"] = float(cc.mean())
+        stats["psibar_psi_err"] = float(cc.std(ddof=1) / len(cc) ** 0.5)
+    logger.print_metrics(stats)
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        save_history({k: np.asarray(getattr(hist, k))
+                      for k in hist._fields},
+                     os.path.join(args.outdir, "schwinger_history.npz"))
+    return stats
+
+
 def _spec_to_args(spec: FlowSpec) -> dict:
     """FlowSpec -> the CLI attr dict cmd_train expects (inverse of
     _flow_spec), so pipeline stages carry the FULL architecture - coupling
@@ -678,6 +736,31 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cold = chain starts at z0 = f^{-1}(0) (bisection "
                          "inverse); the production recipe at beta >= ~5")
     sp.set_defaults(fn=cmd_fthmc)
+
+    sp = sub.add_parser(
+        "schwinger",
+        help="dynamical-fermion (two-flavor Schwinger) HMC; add --ckpt "
+             "for FT-HMC with a (pure-gauge-trained) flow")
+    common(sp)
+    flow_args(sp, restore=True)
+    sp.add_argument("--ckpt", type=str, default=None,
+                    help="flow checkpoint -> FT-HMC; omit for plain HMC")
+    sp.add_argument("--mass", type=float, default=0.1,
+                    help="Wilson fermion mass m0")
+    sp.add_argument("--tau", type=float, default=0.5)
+    sp.add_argument("--nstep", type=int, default=16)
+    sp.add_argument("--ntraj", type=int, default=256)
+    sp.add_argument("--chains", type=int, default=64)
+    sp.add_argument("--block", type=int, default=128)
+    sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
+                    default="omelyan")
+    sp.add_argument("--no-warm-start", action="store_true",
+                    help="cold-start every force CG solve (exact "
+                         "reversibility; ~2x more CG iterations)")
+    sp.add_argument("--condensate", action="store_true",
+                    help="stochastic <psibar psi> on the final configs")
+    sp.add_argument("--start", choices=["hot", "cold"], default="hot")
+    sp.set_defaults(fn=cmd_schwinger)
 
     sp = sub.add_parser("pipeline")
     common(sp)

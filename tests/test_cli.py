@@ -108,3 +108,23 @@ def test_flat_config_routing():
     assert hmc.L == train.L == 4
     assert hmc.beta == train.beta == 1.5
     assert lf.tau == 3.0
+
+
+def test_parser_schwinger():
+    p = build_parser()
+    a = p.parse_args(["schwinger", "--beta", "4.0", "--mass", "0.2",
+                      "--nstep", "12"])
+    assert a.beta == 4.0 and a.mass == 0.2 and a.nstep == 12
+    assert a.integrator == "omelyan" and not a.no_warm_start
+
+
+def test_cli_schwinger_smoke(tmp_path):
+    """Plain dynamical HMC end-to-end through the CLI on CPU (tiny)."""
+    from fthmc_tpu.cli import main
+    out = main(["schwinger", "--L", "4", "--beta", "2.0", "--mass", "0.4",
+                "--ntraj", "4", "--chains", "2", "--nstep", "4",
+                "--block", "4", "--outdir", str(tmp_path)])
+    assert 0.0 <= out["acc"] <= 1.0
+    assert abs(out["exp_mdh"] - 1.0) < 0.5
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "schwinger_history.npz"))
