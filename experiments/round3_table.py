@@ -32,7 +32,9 @@ ROWS = [
      "artifacts/tauint_highbeta/b6_hmc.json", "artifacts/round3/plain_timing_b6.json"),
     ("16^2 b7", "artifacts/round3/tauint_b7_t05n12.json",
      "artifacts/tauint_highbeta/b7_hmc.json", "artifacts/round3/plain_timing_b7.json"),
-    ("16^2 b8", "runs/tauint_b8_opt/fthmc_results.json",
+    # round-3 EXTENDED chain (32k traj): the 8k chain underestimated
+    # tau_FT 3x (457 -> 1494); plain-side artifacts from the original run
+    ("16^2 b8", "artifacts/round3/tauint_b8_ext_t05n8.json",
      "runs/plain_tauint_b8/hmc_results.json", "runs/plain_timing_b8/scan.json"),
     ("32^2 b5", "runs/tauint_b5_L32_opt/fthmc_results.json",
      "artifacts/tauint_highbeta/b5_L32_hmc.json", "runs/plain_timing_b5_L32/scan.json"),
