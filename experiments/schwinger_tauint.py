@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Resilient long Schwinger-model production runs for tau_int(Q).
+
+Same block+persist+retry pattern as tauint_run.py (the remote worker dies
+on long executions): runs plain dynamical HMC or FT-HMC (--ckpt) in small
+compiled blocks, persists (state, q history) after every block, resumes
+from the last good block on a crash.
+
+The headline round-3 capstone measurement: at (16^2, beta=5, m=0.1) the
+force is a CG solve, so the FT/plain cost ratio collapses from the
+pure-gauge ~1100x to a few x while the tau_int(Q) ratio persists -> FT-HMC
+wins WALL-CLOCK per effective sample (BENCH.md round-3 Schwinger section).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fthmc_tpu import lattice
+from fthmc_tpu.checkpoint import load_checkpoint_auto
+from fthmc_tpu.observables import chain_stats
+from fthmc_tpu.schwinger import (SchwingerConfig, _run_fthmc_dyn_scan,
+                                 _run_hmc_dyn_scan)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default=None,
+                   help="flow checkpoint -> FT-HMC; omit for plain HMC")
+    p.add_argument("--out", required=True)
+    p.add_argument("--L", type=int, default=16)
+    p.add_argument("--beta", type=float, default=5.0)
+    p.add_argument("--mass", type=float, default=0.1)
+    p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--nstep", type=int, default=24)
+    p.add_argument("--integrator", default="omelyan")
+    p.add_argument("--chains", type=int, default=64)
+    p.add_argument("--ntraj", type=int, default=4096)
+    p.add_argument("--block", type=int, default=128)
+    p.add_argument("--therm-frac", type=float, default=0.25)
+    p.add_argument("--start", choices=["hot", "cold"], default="cold")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    cfg = SchwingerConfig(L=args.L, beta=args.beta, mass=args.mass,
+                          tau=args.tau, nstep=args.nstep,
+                          n_chains=args.chains, ntraj=args.ntraj,
+                          integrator=args.integrator)
+    ft = args.ckpt is not None
+    if ft:
+        state_f, meta, spec, _ = load_checkpoint_auto(args.ckpt)
+        params = state_f.params
+        print(f"flow restored: {spec.coupling} x{spec.n_layers}", flush=True)
+
+    key = jax.random.PRNGKey(20260817)
+    state_path = os.path.join(args.out, "run_state.npz")
+    if os.path.exists(state_path):
+        data = np.load(state_path)
+        z = jnp.asarray(data["z"])
+        hist = {k: list(data[k]) for k in ("acc", "plaq", "exp_mdh", "q")}
+        done = int(data["done"])
+        key = jnp.asarray(data["key"])
+        print(f"resuming at traj {done}", flush=True)
+    else:
+        if args.start == "cold":
+            if ft:
+                from fthmc_tpu.models.flow import flow_reverse
+                z, _ = flow_reverse(params, jnp.zeros(
+                    (args.chains, 2, args.L, args.L)), spec)
+            else:
+                z = jnp.zeros((args.chains, 2, args.L, args.L), jnp.float32)
+        else:
+            z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
+        hist = {"acc": [], "plaq": [], "exp_mdh": [], "q": []}
+        done = 0
+
+    t0 = time.time()
+    traj_done_this_session = 0
+    while done < args.ntraj:
+        n = min(args.block, args.ntraj - done)
+        key, krun = jax.random.split(key)
+        try:
+            if ft:
+                z_new, h = _run_fthmc_dyn_scan(params, spec, krun, z, cfg, n)
+            else:
+                z_new, h = _run_hmc_dyn_scan(krun, z, cfg, n)
+            float(jnp.sum(z_new))  # real sync (axon tunnel)
+        except Exception as e:
+            print(f"  block at {done} failed ({str(e)[:80]}); retrying "
+                  "in 30 s", flush=True)
+            time.sleep(30)
+            continue
+        z = z_new
+        for k in hist:
+            hist[k].extend(np.asarray(getattr(h, k)))
+        done += n
+        traj_done_this_session += n
+        np.savez_compressed(
+            state_path, z=np.asarray(z), done=done, key=np.asarray(key),
+            **{k: np.asarray(v) for k, v in hist.items()})
+        if done % (4 * args.block) == 0 or done == args.ntraj:
+            acc = np.asarray(hist["acc"])[-4 * args.block:].mean()
+            pl = np.asarray(hist["plaq"])[-args.block:].mean()
+            print(f"  traj {done}/{args.ntraj}: acc={acc:.3f} "
+                  f"plaq={pl:.5f} "
+                  f"({(time.time() - t0) / max(traj_done_this_session, 1):.3f}"
+                  " s/traj)", flush=True)
+
+    therm = int(args.ntraj * args.therm_frac)
+    q = np.asarray(hist["q"])[therm:]
+    res = {
+        "config": vars(args),
+        "sampler": "fthmc" if ft else "hmc",
+        "acc": float(np.asarray(hist["acc"])[therm:].mean()),
+        "exp_mdh": float(np.asarray(hist["exp_mdh"])[therm:].mean()),
+        "plaq": float(np.asarray(hist["plaq"])[therm:].mean()),
+        "wall_s": time.time() - t0,
+        "s_per_traj": ((time.time() - t0) / traj_done_this_session
+                       if traj_done_this_session else float("nan")),
+        **chain_stats(q),
+    }
+    print(json.dumps(res, indent=1, default=str), flush=True)
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(res, f, indent=2, default=str)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ __all__ = ["make_chain_mesh", "shard_chains", "replicate",
            "sharded_hmc_step", "sharded_fthmc_step", "sharded_train_step",
            "sharded_run_hmc", "sharded_run_fthmc",
            "sharded_run_fthmc_chunked", "sharded_train_era",
+           "sharded_run_hmc_dyn", "sharded_run_fthmc_dyn",
            "initialize_multihost"]
 
 
@@ -348,3 +349,70 @@ def sharded_train_era(mesh: Mesh, state, spec, *, batch: int, L: int,
                       out_specs=(P(), P()), check_vma=False),
         static_argnames=())
     return run(state, betas)
+
+
+# ---------------------------------------------------------------------------
+# Dynamical fermions (Schwinger model): chain-dp sharded production drivers.
+# The CG while_loop runs per device shard with its own trip count (no
+# collectives inside the loop), so devices never wait on each other's
+# solver convergence - the natural TPU layout for pseudofermion HMC.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _hmc_dyn_run_fn(mesh: Mesh, axis: str, cfg, ntraj: int):
+    from fthmc_tpu.schwinger import _run_hmc_dyn_scan
+    xspec, hspec = _chain_specs(axis)
+
+    def local(key, x0):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return _run_hmc_dyn_scan(k, x0, cfg, ntraj)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), xspec), out_specs=(xspec, hspec),
+        check_vma=False))
+
+
+def sharded_run_hmc_dyn(mesh: Mesh, cfg, *, x0=None, key=None,
+                        axis: str = "chains"):
+    """schwinger.run_hmc_dyn with cfg.n_chains sharded over `mesh`
+    (SchwingerConfig is frozen/hashable -> one cached executable per
+    config). Returns (x sharded, TrajMetrics with global (ntraj, B))."""
+    import jax.numpy as jnp
+    n_dev = mesh.devices.size
+    assert cfg.n_chains % n_dev == 0, (cfg.n_chains, n_dev)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if x0 is None:
+        x0 = lattice.hot_start(jax.random.fold_in(key, 7), cfg.n_chains,
+                               cfg.L)
+    xspec, _ = _chain_specs(axis)
+    x0 = jax.device_put(x0, NamedSharding(mesh, xspec))
+    run = _hmc_dyn_run_fn(mesh, axis, cfg, cfg.ntraj)
+    return run(key, x0)
+
+
+@lru_cache(maxsize=None)
+def _fthmc_dyn_run_fn(mesh: Mesh, axis: str, spec, cfg, ntraj: int):
+    from fthmc_tpu.schwinger import _run_fthmc_dyn_scan
+    xspec, hspec = _chain_specs(axis)
+
+    def local(params, key, z0):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return _run_fthmc_dyn_scan(params, spec, k, z0, cfg, ntraj)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), xspec),
+        out_specs=(xspec, hspec), check_vma=False))
+
+
+def sharded_run_fthmc_dyn(mesh: Mesh, params, spec, cfg, *, z0, key,
+                          axis: str = "chains"):
+    """Dynamical-fermion FT-HMC with the chain axis sharded and flow params
+    replicated; whole-run scan per device, CG trip counts independent."""
+    n_dev = mesh.devices.size
+    assert z0.shape[0] % n_dev == 0, (z0.shape, n_dev)
+    xspec, _ = _chain_specs(axis)
+    z0 = jax.device_put(z0, NamedSharding(mesh, xspec))
+    params = replicate(mesh, params)
+    run = _fthmc_dyn_run_fn(mesh, axis, spec, cfg, cfg.ntraj)
+    return run(params, key, z0)

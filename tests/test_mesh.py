@@ -130,3 +130,35 @@ def test_sharded_train_era_annealed(spec2):
                               n_epoch=4, betas=betas)
     np.testing.assert_allclose(np.asarray(ms["beta"]), np.asarray(betas),
                                atol=1e-6)
+
+
+def test_sharded_run_hmc_dyn_exactness():
+    """Dynamical-fermion HMC sharded over the 8-device mesh: exactness
+    (exp(-dH) ~ 1) and global metric shapes; per-device CG trip counts are
+    independent (no collectives in the solver loop)."""
+    from fthmc_tpu.parallel.mesh import sharded_run_hmc_dyn
+    from fthmc_tpu.schwinger import SchwingerConfig
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.5, nstep=8,
+                          n_chains=16, ntraj=12, cg_tol_force=1e-10,
+                          cg_tol_mh=1e-12, cg_maxiter=300)
+    mesh = make_chain_mesh()
+    x, h = sharded_run_hmc_dyn(mesh, cfg, key=jax.random.PRNGKey(2))
+    assert h.acc.shape == (12, 16)
+    em = np.asarray(h.exp_mdh)
+    assert abs(em.mean() - 1.0) < 0.1
+    assert bool(np.all(np.isfinite(np.asarray(h.dh))))
+
+
+def test_sharded_run_fthmc_dyn_exactness(params2, spec2):
+    from fthmc_tpu.parallel.mesh import sharded_run_fthmc_dyn
+    from fthmc_tpu.schwinger import SchwingerConfig
+    cfg = SchwingerConfig(L=8, beta=2.0, mass=0.3, tau=0.25, nstep=8,
+                          n_chains=16, ntraj=8, cg_tol_force=1e-10,
+                          cg_tol_mh=1e-12, cg_maxiter=300)
+    mesh = make_chain_mesh()
+    z0 = jnp.zeros((16, 2, 8, 8), jnp.float32)
+    z, h = sharded_run_fthmc_dyn(mesh, params2, spec2, cfg, z0=z0,
+                                 key=jax.random.PRNGKey(3))
+    assert h.acc.shape == (8, 16)
+    em = np.asarray(h.exp_mdh)[2:]
+    assert abs(em.mean() - 1.0) < 0.15
