@@ -46,7 +46,7 @@ from fthmc_tpu import lattice
 __all__ = [
     "dirac", "dirac_dag", "apply_mdagm", "cg_solve", "pf_refresh",
     "pf_action_exact", "pf_action_lin", "pf_force", "CGResult",
-    "chiral_condensate",
+    "chiral_condensate", "pion_correlator",
 ]
 
 
@@ -261,3 +261,32 @@ def chiral_condensate(key: jax.Array, theta: jnp.ndarray, mass: float, *,
     keys = jax.random.split(key, n_noise)
     vals = jax.lax.map(one, keys)
     return jnp.mean(vals, axis=0) / vol
+
+
+@partial(jax.jit, static_argnames=("mass", "tol", "maxiter"))
+def pion_correlator(theta: jnp.ndarray, mass: float, *, tol: float = 1e-10,
+                    maxiter: int = 2000) -> jnp.ndarray:
+    """Zero-momentum pion correlator C(t) from a point source at the origin.
+
+    The pion interpolator is psibar gamma_5 psi; by gamma_5-hermiticity its
+    correlator needs no backward propagator:
+
+        C(t) = sum_{x1, spins} |S(x; 0)|^2,   S = D^{-1} (point source)
+
+    (two spin-column solves via M^{-1} D^dag e_s). Time = axis 0
+    (antiperiodic), so C(t) ~ cosh(m_pi (t - L0/2)) at large t. Batched
+    theta (B, 2, L0, L1) -> (B, L0); single -> (L0,).
+    """
+    batched = theta.ndim == 4
+    lead = theta.shape[:-3]
+    L0, L1 = theta.shape[-2:]
+
+    def col(s):
+        src = jnp.zeros(lead + (L0, L1, 2), jnp.complex64)
+        src = src.at[..., 0, 0, s].set(1.0 + 0.0j)
+        rhs = dirac_dag(theta, src, mass)
+        return cg_solve(theta, rhs, mass, tol=tol, maxiter=maxiter).x
+
+    s0, s1 = col(0), col(1)
+    dens = (jnp.abs(s0) ** 2 + jnp.abs(s1) ** 2).sum(axis=-1)  # (..., L0, L1)
+    return dens.sum(axis=-1)                                    # (..., L0)

@@ -170,3 +170,39 @@ def test_chiral_condensate_free_field():
             tot += 2 * wil / (wil ** 2 + ssq)
     expect = tot / (l * l * 2)
     assert abs(got - expect) < 0.05 * abs(expect), (got, expect)
+
+
+def test_pion_correlator_free_field():
+    """theta=0: C(t) computable from the exact free propagator in momentum
+    space. Check shape, positivity, time-reflection symmetry (antiperiodic
+    cosh form), and the exact values."""
+    l = 8
+    theta = jnp.zeros((2, l, l), jnp.float32)
+    c = np.asarray(fermion.pion_correlator(theta, MASS, tol=1e-14))
+    assert c.shape == (l,)
+    assert np.all(c > 0)
+    # exact: S(x) = (1/V) sum_k e^{ikx} (wil - i gamma.s)/(wil^2+s^2);
+    # C(t) = sum_{x1,ab} |S|^2 -- build the free propagator densely
+    k0 = 2 * np.pi * (np.arange(l) + 0.5) / l
+    k1 = 2 * np.pi * np.arange(l) / l
+    g0 = np.array([[0, 1], [1, 0]], complex)
+    g1 = np.array([[0, -1j], [1j, 0]], complex)
+    prop = np.zeros((l, l, 2, 2), complex)
+    for a in k0:
+        for b in k1:
+            wil = MASS + 2 - np.cos(a) - np.cos(b)
+            num = wil * np.eye(2) - 1j * (np.sin(a) * g0 + np.sin(b) * g1)
+            den = wil ** 2 + np.sin(a) ** 2 + np.sin(b) ** 2
+            phase = np.exp(1j * (a * np.arange(l)[:, None]
+                                 + b * np.arange(l)[None, :]))
+            prop += phase[..., None, None] * (num / den)
+    prop /= l * l
+    c_exact = (np.abs(prop) ** 2).sum(axis=(1, 2, 3))
+    np.testing.assert_allclose(c, c_exact, rtol=1e-3)
+
+
+def test_pion_correlator_batched():
+    theta = _rand_theta(jax.random.PRNGKey(20), batch=3)
+    c = np.asarray(fermion.pion_correlator(theta, MASS, tol=1e-12))
+    assert c.shape == (3, L)
+    assert np.all(np.isfinite(c)) and np.all(c > 0)
