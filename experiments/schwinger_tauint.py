@@ -46,13 +46,16 @@ def main():
     p.add_argument("--block", type=int, default=128)
     p.add_argument("--therm-frac", type=float, default=0.25)
     p.add_argument("--start", choices=["hot", "cold"], default="cold")
+    p.add_argument("--no-eo", action="store_true",
+                   help="disable even-odd preconditioning")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     cfg = SchwingerConfig(L=args.L, beta=args.beta, mass=args.mass,
                           tau=args.tau, nstep=args.nstep,
                           n_chains=args.chains, ntraj=args.ntraj,
-                          integrator=args.integrator)
+                          integrator=args.integrator,
+                          eo_precond=not args.no_eo)
     ft = args.ckpt is not None
     if ft:
         state_f, meta, spec, _ = load_checkpoint_auto(args.ckpt)

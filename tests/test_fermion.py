@@ -206,3 +206,90 @@ def test_pion_correlator_batched():
     c = np.asarray(fermion.pion_correlator(theta, MASS, tol=1e-12))
     assert c.shape == (3, L)
     assert np.all(np.isfinite(c)) and np.all(c > 0)
+
+
+# ------------------------------------------------------- even-odd precond
+
+def _dense_even(theta, mass, op):
+    """Dense matrix of an even-subspace operator, restricted to the even
+    sites (rows/columns indexed by even-site components)."""
+    m = _dense(theta, mass, op)
+    mask = (np.asarray(fermion.parity_mask((L, L, 2), 0))
+            * np.ones((L, L, 2))).reshape(-1) > 0
+    keep = np.nonzero(mask)[0]
+    return m[np.ix_(keep, keep)], keep
+
+
+def test_dirac_hat_equals_schur_complement():
+    """Dense Dhat restricted to even sites == A_ee - D_eo A_oo^{-1} D_oe
+    built from the dense full operator."""
+    theta = _rand_theta(jax.random.PRNGKey(30))
+    d = _dense(theta, MASS, fermion.dirac)
+    mask = (np.asarray(fermion.parity_mask((L, L, 2), 0))
+            * np.ones((L, L, 2))).reshape(-1) > 0
+    e, o = np.nonzero(mask)[0], np.nonzero(~mask)[0]
+    schur = d[np.ix_(e, e)] - d[np.ix_(e, o)] @ np.linalg.solve(
+        d[np.ix_(o, o)], d[np.ix_(o, e)])
+    dhat, keep = _dense_even(theta, MASS, fermion.dirac_hat)
+    assert np.array_equal(keep, e)
+    np.testing.assert_allclose(dhat, schur, atol=1e-5)
+
+
+def test_dirac_hat_determinant_identity():
+    """det D = det(A_oo) * det(Dhat) = (m+2)^{n_odd} det(Dhat) — the
+    preconditioned pseudofermion simulates the same theory."""
+    theta = _rand_theta(jax.random.PRNGKey(31))
+    d = _dense(theta, MASS, fermion.dirac)
+    dhat, keep = _dense_even(theta, MASS, fermion.dirac_hat)
+    n_odd = d.shape[0] - dhat.shape[0]
+    s_full, ld_full = np.linalg.slogdet(d)
+    s_hat, ld_hat = np.linalg.slogdet(dhat)
+    ld_exp = ld_hat + n_odd * np.log(MASS + 2.0)
+    np.testing.assert_allclose(ld_full, ld_exp, rtol=1e-5)
+
+
+def test_eo_cg_converges_and_preserves_even_subspace():
+    theta = _rand_theta(jax.random.PRNGKey(32), batch=2)
+    phi, s0 = fermion.pf_refresh(jax.random.PRNGKey(33), theta, MASS,
+                                 eo=True)
+    # phi lives on even sites
+    mo = 1.0 - np.asarray(fermion.parity_mask((L, L, 2), 0))
+    assert np.abs(np.asarray(phi) * mo).max() < 1e-7
+    res = fermion.cg_solve(theta, phi, MASS, tol=1e-12, maxiter=400, eo=True)
+    assert float(res.rsq.max()) < 1e-11
+    assert np.abs(np.asarray(res.x) * mo).max() < 1e-7
+    s, _ = fermion.pf_action_exact(theta, phi, MASS, tol=1e-12, eo=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=1e-4)
+
+
+def test_eo_fewer_cg_iterations():
+    """The Schur system must converge in fewer iterations than the full
+    system at equal tolerance (the point of the preconditioner)."""
+    theta = _rand_theta(jax.random.PRNGKey(34))
+    phi_f, _ = fermion.pf_refresh(jax.random.PRNGKey(35), theta, MASS)
+    phi_e, _ = fermion.pf_refresh(jax.random.PRNGKey(35), theta, MASS,
+                                  eo=True)
+    it_f = int(fermion.cg_solve(theta, phi_f, MASS, tol=1e-10,
+                                maxiter=2000).iters)
+    it_e = int(fermion.cg_solve(theta, phi_e, MASS, tol=1e-10,
+                                maxiter=2000, eo=True).iters)
+    assert it_e < it_f, (it_e, it_f)
+
+
+def test_eo_hmc_matches_plain_physics():
+    """eo-preconditioned dynamical HMC: exp(-dH) ~ 1 and the plaquette
+    matches the unpreconditioned sampler (same det(D)^2 theory)."""
+    from fthmc_tpu.schwinger import SchwingerConfig, run_hmc_dyn
+    import dataclasses as dc
+    base = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.5, nstep=8,
+                           n_chains=8, ntraj=40, cg_tol_force=1e-10,
+                           cg_tol_mh=1e-12, cg_maxiter=400)
+    x0 = lattice.hot_start(jax.random.PRNGKey(36), 8, 4)
+    _, h0 = run_hmc_dyn(base, x0=x0, key=jax.random.PRNGKey(37))
+    _, h1 = run_hmc_dyn(dc.replace(base, eo_precond=True), x0=x0,
+                        key=jax.random.PRNGKey(37))
+    e1 = np.asarray(h1.exp_mdh).mean()
+    assert abs(e1 - 1.0) < 0.1, e1
+    p0 = np.asarray(h0.plaq)[20:].mean()
+    p1 = np.asarray(h1.plaq)[20:].mean()
+    assert abs(p0 - p1) < 0.03, (p0, p1)
