@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Multi-timescale (Sexton-Weingarten) integrator scan for the Schwinger
+model: acceptance + in-scan cost per (outer nstep, n_inner) config, for
+plain HMC and FT-HMC (any flow checkpoint), warm- or cold-started force
+solves.
+
+Starts every row from a THERMALIZED state (a previous production
+run_state.npz) so short scans measure equilibrium acceptance, not
+thermalization. Rows are written incrementally to --out/scan.json.
+
+Example:
+  python experiments/schwinger_mts_scan.py --out runs/schw_mts_scan \
+    --plain-state runs/schw_b5_plain_t1n4/run_state.npz \
+    --ft-state runs/schw_b5_ft_t05n24/run_state.npz \
+    --row plain:4:8 --row ft:4:6:artifacts/flow8x8_b3_rncp24 \
+    --row ft:4:3:artifacts/flow8x8_b3_rncp24_ftb6
+Row syntax: sampler:nstep:n_inner[:ckpt][:tau=X][:cold]
+(n_inner=0 -> single-scale Omelyan; 'cold' -> warm_start=False).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fthmc_tpu.checkpoint import load_checkpoint_auto
+from fthmc_tpu.schwinger import (SchwingerConfig, _run_fthmc_dyn_scan,
+                                 _run_hmc_dyn_scan)
+
+
+def parse_row(s: str):
+    parts = s.split(":")
+    sampler, nstep, n_inner = parts[0], int(parts[1]), int(parts[2])
+    ckpt, tau, warm = None, None, True
+    for p in parts[3:]:
+        if p.startswith("tau="):
+            tau = float(p[4:])
+        elif p == "cold":
+            warm = False
+        else:
+            ckpt = p
+    return dict(sampler=sampler, nstep=nstep, n_inner=n_inner, ckpt=ckpt,
+                tau=tau, warm=warm)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--L", type=int, default=16)
+    p.add_argument("--beta", type=float, default=5.0)
+    p.add_argument("--mass", type=float, default=0.1)
+    p.add_argument("--tau-plain", type=float, default=1.0)
+    p.add_argument("--tau-ft", type=float, default=0.5)
+    p.add_argument("--chains", type=int, default=64)
+    p.add_argument("--ntraj", type=int, default=192)
+    p.add_argument("--plain-state", default=None,
+                   help="run_state.npz with a thermalized plain chain")
+    p.add_argument("--ft-state", default=None,
+                   help="run_state.npz with a thermalized FT latent chain")
+    p.add_argument("--row", action="append", required=True)
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    states, flows = {}, {}
+
+    # host-side caches: a TPU worker crash invalidates device buffers, so
+    # every row (re-)uploads from numpy
+    def get_state(path):
+        if path not in states:
+            states[path] = np.load(path)["z"][:args.chains]
+        return jnp.asarray(states[path])
+
+    def get_flow(ckpt):
+        if ckpt not in flows:
+            st, meta, spec, _ = load_checkpoint_auto(ckpt)
+            flows[ckpt] = (jax.device_get(st.params), spec)
+        params, spec = flows[ckpt]
+        return jax.device_put(params), spec
+
+    rows = []
+    for i, rs in enumerate(args.row):
+        for attempt in range(3):
+            try:
+                _run_row(args, rs, i, rows, get_state, get_flow)
+                break
+            except Exception as e:
+                print(f"row {rs} attempt {attempt} failed: "
+                      f"{str(e)[:100]}; retrying in 45 s", flush=True)
+                time.sleep(45)
+
+
+def _run_row(args, rs, i, rows, get_state, get_flow):
+    if True:
+        r = parse_row(rs)
+        ft = r["sampler"] == "ft"
+        tau = r["tau"] if r["tau"] is not None else (
+            args.tau_ft if ft else args.tau_plain)
+        cfg = SchwingerConfig(
+            L=args.L, beta=args.beta, mass=args.mass, tau=tau,
+            nstep=r["nstep"], n_inner=r["n_inner"], n_chains=args.chains,
+            warm_start=r["warm"])
+        key = jax.random.PRNGKey(7000 + i)
+        # first call compiles (jit is static in ntraj) and advances the
+        # chain; the SECOND call — chained state, fresh key — is timed.
+        if ft:
+            params, spec = get_flow(r["ckpt"])
+            z = get_state(args.ft_state)
+            z1, _ = _run_fthmc_dyn_scan(params, spec, jax.random.fold_in(
+                key, 1), z, cfg, args.ntraj)
+            float(jnp.sum(z1))
+            t0 = time.time()
+            z2, h = _run_fthmc_dyn_scan(params, spec, key, z1, cfg,
+                                        args.ntraj)
+            float(jnp.sum(z2))
+        else:
+            x = get_state(args.plain_state)
+            x1, _ = _run_hmc_dyn_scan(jax.random.fold_in(key, 1), x, cfg,
+                                      args.ntraj)
+            float(jnp.sum(x1))
+            t0 = time.time()
+            x2, h = _run_hmc_dyn_scan(key, x1, cfg, args.ntraj)
+            float(jnp.sum(x2))
+        wall = time.time() - t0
+        row = dict(**r, tau_used=tau,
+                   acc=float(np.asarray(h.acc).mean()),
+                   exp_mdh=float(np.asarray(h.exp_mdh).mean()),
+                   plaq=float(np.asarray(h.plaq).mean()),
+                   q_mobility=float(np.mean(
+                       np.abs(np.diff(np.asarray(h.q), axis=0)) ** 2)),
+                   s_per_traj=wall / args.ntraj, wall_s=wall)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        with open(os.path.join(args.out, "scan.json"), "w") as f:
+            json.dump({"args": vars(args), "rows": rows}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

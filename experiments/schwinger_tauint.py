@@ -41,6 +41,9 @@ def main():
     p.add_argument("--tau", type=float, default=0.5)
     p.add_argument("--nstep", type=int, default=24)
     p.add_argument("--integrator", default="omelyan")
+    p.add_argument("--n-inner", type=int, default=0,
+                   help="multi-timescale: nstep=outer fermion kicks, each "
+                        "with N inner gauge(-flow) Omelyan steps")
     p.add_argument("--chains", type=int, default=64)
     p.add_argument("--ntraj", type=int, default=4096)
     p.add_argument("--block", type=int, default=128)
@@ -55,7 +58,7 @@ def main():
                           tau=args.tau, nstep=args.nstep,
                           n_chains=args.chains, ntraj=args.ntraj,
                           integrator=args.integrator,
-                          eo_precond=not args.no_eo)
+                          eo_precond=not args.no_eo, n_inner=args.n_inner)
     ft = args.ckpt is not None
     if ft:
         state_f, meta, spec, _ = load_checkpoint_auto(args.ckpt)

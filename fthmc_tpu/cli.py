@@ -384,7 +384,7 @@ def cmd_schwinger(args) -> dict:
         L=args.L, beta=args.beta, mass=args.mass, tau=args.tau,
         nstep=args.nstep, n_chains=args.chains, ntraj=args.ntraj,
         integrator=args.integrator, warm_start=not args.no_warm_start,
-        eo_precond=not args.no_eo)
+        eo_precond=not args.no_eo, n_inner=args.n_inner)
     ft = bool(args.ckpt)
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
@@ -755,6 +755,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--block", type=int, default=128)
     sp.add_argument("--integrator", choices=["leapfrog", "omelyan"],
                     default="omelyan")
+    sp.add_argument("--n-inner", type=int, default=0,
+                    help="multi-timescale (Sexton-Weingarten): nstep "
+                         "counts OUTER fermion kicks, each drifting "
+                         "through N inner gauge(-flow)-only Omelyan "
+                         "steps; 0 = single-scale")
     sp.add_argument("--no-warm-start", action="store_true",
                     help="cold-start every force CG solve (exact "
                          "reversibility; ~2x more CG iterations)")

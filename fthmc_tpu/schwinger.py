@@ -46,7 +46,9 @@ from fthmc_tpu.models.flow import flow_forward
 
 __all__ = ["SchwingerConfig", "dyn_force", "hmc_step_dyn", "run_hmc_dyn",
            "run_hmc_dyn_chunked", "ft_dyn_force", "fthmc_step_dyn",
-           "run_fthmc_dyn", "run_fthmc_dyn_chunked"]
+           "run_fthmc_dyn", "run_fthmc_dyn_chunked", "gauge_drift",
+           "nested_leapfrog_aux", "nested_omelyan_aux", "ft_gauge_force",
+           "ft_fermion_force"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +69,17 @@ class SchwingerConfig:
     # even-odd Schur-preconditioned solves: same det(D)^2 theory (constant
     # det A_oo), measured 2.5x fewer CG iterations at 16^2 beta=5 m=0.1
     eo_precond: bool = True
+    # Multi-timescale (Sexton-Weingarten) integration: if n_inner > 0,
+    # `nstep` counts OUTER steps (fermion kicks, one CG solve each; fused
+    # half-kicks -> nstep+1 solves per trajectory) and each outer step
+    # drifts through n_inner Omelyan sub-steps of gauge(-flow)-only
+    # dynamics. The fermion force is smooth (plain HMC runs at dt=1/4);
+    # the gauge/flow-VJP force is cheap but rugged - splitting the scales
+    # removes CG solves from the fine scale. `integrator` selects the
+    # OUTER scheme: 'omelyan' (2 solves/outer step, ~6x smaller error -
+    # required for FT, where the flow Jacobian roughens the fermion force
+    # in latent space) or 'leapfrog' (fused kicks, nstep+1 solves).
+    n_inner: int = 0
 
     @property
     def dt(self) -> float:
@@ -105,6 +118,85 @@ def leapfrog_aux(x, v, dt: float, nstep: int, force_fn, aux):
     return x, v, aux
 
 
+_OMELYAN_LAMBDA = 0.1931833275037836
+
+
+def gauge_drift(x, v, span: float, n_in: int, force_g):
+    """Integrate the GAUGE(-flow)-only dynamics (x, v) for time `span` with
+    n_in Omelyan 2MN steps; force_g(x) -> f has no auxiliary state (no CG).
+    Symplectic + time-reversible, so it is a valid drift substitute in a
+    Sexton-Weingarten nesting (hep-lat/9209003)."""
+    lam = _OMELYAN_LAMBDA
+    dt = span / n_in
+
+    def body(carry, _):
+        x, v = carry
+        x = x + lam * dt * v
+        v = v - 0.5 * dt * force_g(x)
+        x = x + (1.0 - 2.0 * lam) * dt * v
+        v = v - 0.5 * dt * force_g(x)
+        x = x + lam * dt * v
+        return (x, v), None
+
+    (x, v), _ = jax.lax.scan(body, (x, v), None, length=n_in)
+    return x, v
+
+
+def nested_leapfrog_aux(x, v, dt: float, nstep: int, n_in: int,
+                        force_f, force_g, aux):
+    """Multi-timescale integrator: outer leapfrog on the FERMION force
+    (force_f(x, aux) -> (f, aux), one CG solve per evaluation; adjacent
+    half-kicks fused -> nstep+1 evaluations) around inner Omelyan
+    gauge-only drifts (force_g, 2*n_in evaluations per outer step).
+
+    Reversible and volume-preserving: a symmetric composition of symplectic
+    maps; Metropolis exactness is untouched."""
+    f, aux = force_f(x, aux)
+    v = v - 0.5 * dt * f
+
+    def body(carry, _):
+        x, v, aux = carry
+        x, v = gauge_drift(x, v, dt, n_in, force_g)
+        f, aux = force_f(x, aux)
+        return (x, v - dt * f, aux), None
+
+    (x, v, aux), _ = jax.lax.scan(body, (x, v, aux), None, length=nstep - 1)
+    x, v = gauge_drift(x, v, dt, n_in, force_g)
+    f, aux = force_f(x, aux)
+    return x, v - 0.5 * dt * f, aux
+
+
+def nested_omelyan_aux(x, v, dt: float, nstep: int, n_in: int,
+                       force_f, force_g, aux):
+    """Multi-timescale integrator with Omelyan 2MN at the OUTER (fermion)
+    level too: ~6x smaller outer error coefficient than nested leapfrog at
+    2 solves/outer step — measured necessary for FT-HMC, where the flow
+    Jacobian makes even the smooth fermion force rugged in latent space.
+
+    Each outer drift segment (spans lam*dt / (1-2lam)*dt / lam*dt) is
+    integrated by inner gauge-only Omelyan sub-steps, allocated
+    proportionally to the span (total ~= 2*n_in fine steps per outer
+    step). Symmetric composition of symplectic maps: reversible, exact
+    under Metropolis."""
+    lam = _OMELYAN_LAMBDA
+    n_edge = max(1, round(n_in * lam * 2.0))          # lam*dt segment
+    n_mid = max(1, 2 * n_in - 2 * n_edge)             # (1-2lam)*dt segment
+
+    def body(carry, _):
+        x, v, aux = carry
+        x, v = gauge_drift(x, v, lam * dt, n_edge, force_g)
+        f, aux = force_f(x, aux)
+        v = v - 0.5 * dt * f
+        x, v = gauge_drift(x, v, (1.0 - 2.0 * lam) * dt, n_mid, force_g)
+        f, aux = force_f(x, aux)
+        v = v - 0.5 * dt * f
+        x, v = gauge_drift(x, v, lam * dt, n_edge, force_g)
+        return (x, v, aux), None
+
+    (x, v, aux), _ = jax.lax.scan(body, (x, v, aux), None, length=nstep)
+    return x, v, aux
+
+
 def omelyan_aux(x, v, dt: float, nstep: int, force_fn, aux):
     """2MN Omelyan (same lambda as hmc.omelyan); force_fn(x, aux)->(f, aux).
     Two force evaluations per step, O(dt^2) error with a ~1/6 smaller
@@ -133,15 +225,40 @@ def hmc_step_dyn(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
     v0 = jax.random.normal(kv, x.shape, x.dtype)
     phi, s_pf0 = fermion.pf_refresh(kp, x, cfg.mass, eo=cfg.eo_precond)
 
-    def force_fn(xx, x_guess):
-        guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
-        return dyn_force(xx, phi, cfg.beta, cfg.mass, guess,
-                         cfg.cg_tol_force, cfg.cg_maxiter,
-                         eo=cfg.eo_precond)
+    if cfg.n_inner > 0:
+        def fermion_force(xx, x_guess):
+            guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
+            res = fermion.cg_solve(xx, phi, cfg.mass, guess,
+                                   tol=cfg.cg_tol_force,
+                                   maxiter=cfg.cg_maxiter,
+                                   eo=cfg.eo_precond)
 
-    integ = omelyan_aux if cfg.integrator == "omelyan" else leapfrog_aux
-    x1, v1, x_sol = integ(x, v0, cfg.dt, cfg.nstep, force_fn,
-                          jnp.zeros_like(phi))
+            def s_f(th):
+                return jnp.sum(fermion.pf_action_lin(th, phi, res.x,
+                                                     cfg.mass,
+                                                     eo=cfg.eo_precond))
+
+            return jax.grad(s_f)(xx), res.x
+
+        def gauge_force(xx):
+            return (jax.vmap(lambda c: lattice.force(c, cfg.beta))(xx)
+                    if xx.ndim == 4 else lattice.force(xx, cfg.beta))
+
+        nested = (nested_omelyan_aux if cfg.integrator == "omelyan"
+                  else nested_leapfrog_aux)
+        x1, v1, x_sol = nested(
+            x, v0, cfg.dt, cfg.nstep, cfg.n_inner, fermion_force,
+            gauge_force, jnp.zeros_like(phi))
+    else:
+        def force_fn(xx, x_guess):
+            guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
+            return dyn_force(xx, phi, cfg.beta, cfg.mass, guess,
+                             cfg.cg_tol_force, cfg.cg_maxiter,
+                             eo=cfg.eo_precond)
+
+        integ = omelyan_aux if cfg.integrator == "omelyan" else leapfrog_aux
+        x1, v1, x_sol = integ(x, v0, cfg.dt, cfg.nstep, force_fn,
+                              jnp.zeros_like(phi))
     x1 = lattice.wrap(x1)
 
     s_pf1, _ = fermion.pf_action_exact(x1, phi, cfg.mass, tol=cfg.cg_tol_mh,
@@ -234,6 +351,41 @@ def ft_dyn_force(params, spec: FlowSpec, z: jnp.ndarray, cfg,
     return gz, res.x
 
 
+def ft_gauge_force(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
+                   remat: bool) -> jnp.ndarray:
+    """Latent-space force of the GAUGE part of S_eff only:
+    d/dz [S_gauge(T(z)) - log|det dT/dz|] — one flow VJP, no CG. This is
+    the rugged-but-cheap force that sets the fine timescale in the
+    multi-timescale splitting."""
+    def s(zz):
+        x, logj = flow_forward(params, zz, spec, remat=remat)
+        return jnp.sum(lattice.batch_action(x, beta) - logj)
+
+    return jax.grad(s)(z)
+
+
+def ft_fermion_force(params, spec: FlowSpec, z: jnp.ndarray, cfg,
+                     phi: jnp.ndarray, x_guess: jnp.ndarray, remat: bool):
+    """Latent-space force of the PSEUDOFERMION part of S_eff only: the CG
+    solve runs on the stop-gradient physical field, its variational-form
+    gradient is pulled back through the flow by one VJP (logdet cotangent
+    zero — the logdet force lives on the fine scale with the gauge part).
+    Returns (force_z, cg_solution)."""
+    (x, logj), vjp = jax.vjp(
+        lambda zz: flow_forward(params, zz, spec, remat=remat), z)
+    res = fermion.cg_solve(jax.lax.stop_gradient(x), phi, cfg.mass, x_guess,
+                           tol=cfg.cg_tol_force, maxiter=cfg.cg_maxiter,
+                           eo=cfg.eo_precond)
+
+    def s_x(xx):
+        return jnp.sum(fermion.pf_action_lin(xx, phi, res.x, cfg.mass,
+                                             eo=cfg.eo_precond))
+
+    gx = jax.grad(s_x)(x)
+    gz, = vjp((gx, jnp.zeros_like(logj)))
+    return gz, res.x
+
+
 def fthmc_step_dyn(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
                    q_old: jnp.ndarray, cfg: SchwingerConfig, remat="auto"):
     """One batched dynamical-fermion FT-HMC trajectory in latent space.
@@ -247,13 +399,28 @@ def fthmc_step_dyn(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
     y0, logdet0 = flow_forward(params, z, spec, remat=remat)
     phi, s_pf0 = fermion.pf_refresh(kp, y0, cfg.mass, eo=cfg.eo_precond)
 
-    def force_fn(zz, x_guess):
-        guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
-        return ft_dyn_force(params, spec, zz, cfg, phi, guess, remat)
+    if cfg.n_inner > 0:
+        def fermion_fn(zz, x_guess):
+            guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
+            return ft_fermion_force(params, spec, zz, cfg, phi, guess,
+                                    remat)
 
-    integ = omelyan_aux if cfg.integrator == "omelyan" else leapfrog_aux
-    z1, v1, x_sol = integ(z, v0, cfg.dt, cfg.nstep, force_fn,
-                          jnp.zeros_like(phi))
+        def gauge_fn(zz):
+            return ft_gauge_force(params, spec, zz, cfg.beta, remat)
+
+        nested = (nested_omelyan_aux if cfg.integrator == "omelyan"
+                  else nested_leapfrog_aux)
+        z1, v1, x_sol = nested(
+            z, v0, cfg.dt, cfg.nstep, cfg.n_inner, fermion_fn, gauge_fn,
+            jnp.zeros_like(phi))
+    else:
+        def force_fn(zz, x_guess):
+            guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
+            return ft_dyn_force(params, spec, zz, cfg, phi, guess, remat)
+
+        integ = omelyan_aux if cfg.integrator == "omelyan" else leapfrog_aux
+        z1, v1, x_sol = integ(z, v0, cfg.dt, cfg.nstep, force_fn,
+                              jnp.zeros_like(phi))
     z1 = lattice.wrap(z1)
     y1, logdet1 = flow_forward(params, z1, spec, remat=remat)
 

@@ -159,3 +159,103 @@ def test_dynamical_fermions_shift_plaquette_up():
     x, hist = run_hmc_dyn_chunked(cfg, block=75, key=jax.random.PRNGKey(8))
     p = np.asarray(hist.plaq)[150:].mean()
     assert p > lattice.PLAQ_EXACT[1.0] + 0.02, p
+
+
+# ------------------------------------------------- multi-timescale (MTS)
+
+def test_mts_exp_mdh_near_one():
+    """Nested Sexton-Weingarten integrator at fine scales: dH is small and
+    exp(-dH) ~ 1 (reversible + volume-preserving composition)."""
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.5, nstep=5,
+                          n_inner=5, n_chains=4, ntraj=2,
+                          cg_tol_force=1e-12, cg_tol_mh=1e-12,
+                          cg_maxiter=400)
+    _, hist = run_hmc_dyn(cfg, key=jax.random.PRNGKey(21))
+    dh = np.asarray(hist.dh)
+    assert np.all(np.abs(dh) < 0.05), dh
+
+
+@pytest.mark.slow
+def test_mts_dh_scales_as_dt_squared():
+    """Halving the OUTER dt (fixed tau, fixed fine dt) cuts |dH| ~4x:
+    the nesting preserves 2nd-order accuracy."""
+    def max_dh(nstep, n_inner):
+        cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.5,
+                              nstep=nstep, n_inner=n_inner, n_chains=4,
+                              ntraj=1, cg_tol_force=1e-12, cg_tol_mh=1e-12,
+                              cg_maxiter=400)
+        x0 = lattice.hot_start(jax.random.PRNGKey(3), 4, 4)
+        _, hist = run_hmc_dyn(cfg, x0=x0, key=jax.random.PRNGKey(1))
+        return float(np.abs(np.asarray(hist.dh)).max())
+
+    a, b = max_dh(4, 8), max_dh(8, 4)   # same fine dt, outer dt halves
+    assert b < a / 2.0, (a, b)
+
+
+@pytest.mark.slow
+def test_mts_reversibility():
+    """Forward-integrate, flip momentum, integrate back: recover the start
+    (cold CG force solves -> exactly time-reversible)."""
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.5, nstep=5,
+                          n_inner=4, n_chains=2, warm_start=False,
+                          cg_tol_force=1e-12, cg_maxiter=400)
+    x = lattice.hot_start(jax.random.PRNGKey(5), 2, 4)
+    v = jax.random.normal(jax.random.PRNGKey(6), x.shape, x.dtype)
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(7), x, cfg.mass)
+
+    def ff(xx, aux):
+        res = fermion.cg_solve(xx, phi, cfg.mass, jnp.zeros_like(phi),
+                               tol=cfg.cg_tol_force, maxiter=cfg.cg_maxiter)
+
+        def s_f(th):
+            return jnp.sum(fermion.pf_action_lin(th, phi, res.x, cfg.mass))
+
+        return jax.grad(s_f)(xx), res.x
+
+    def fg(xx):
+        return jax.vmap(lambda c: lattice.force(c, cfg.beta))(xx)
+
+    x1, v1, _ = schwinger.nested_leapfrog_aux(
+        x, v, cfg.dt, cfg.nstep, cfg.n_inner, ff, fg, jnp.zeros_like(phi))
+    x2, v2, _ = schwinger.nested_leapfrog_aux(
+        x1, -v1, cfg.dt, cfg.nstep, cfg.n_inner, ff, fg,
+        jnp.zeros_like(phi))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(-v2), np.asarray(v), atol=5e-4)
+
+
+def test_ft_force_split_sums_to_total():
+    """ft_gauge_force + ft_fermion_force == ft_dyn_force (the single-scale
+    total): the MTS splitting re-partitions the same S_eff gradient."""
+    spec = FlowSpec(n_layers=2, coupling="rncp", n_mixture=2,
+                    hidden_sizes=(8, 8))
+    params = init_flow_params(jax.random.PRNGKey(1), spec)
+    cfg = SchwingerConfig(L=4, beta=1.5, mass=0.4, cg_tol_force=1e-12,
+                          cg_maxiter=400)
+    z = lattice.hot_start(jax.random.PRNGKey(22), 2, 4)
+    from fthmc_tpu.models.flow import flow_forward
+    x, _ = flow_forward(params, z, spec)
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(23), x,
+                                cfg.mass, eo=cfg.eo_precond)
+    guess = jnp.zeros_like(phi)
+    total, _ = schwinger.ft_dyn_force(params, spec, z, cfg, phi, guess,
+                                      False)
+    fg = schwinger.ft_gauge_force(params, spec, z, cfg.beta, False)
+    ffm, _ = schwinger.ft_fermion_force(params, spec, z, cfg, phi, guess,
+                                        False)
+    np.testing.assert_allclose(np.asarray(fg + ffm), np.asarray(total),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ft_mts_exp_mdh_near_one():
+    """FT-HMC with the nested integrator and a random flow: exp(-dH) ~ 1."""
+    spec = FlowSpec(n_layers=2, coupling="rncp", n_mixture=2,
+                    hidden_sizes=(8, 8))
+    params = init_flow_params(jax.random.PRNGKey(1), spec)
+    cfg = SchwingerConfig(L=4, beta=1.5, mass=0.4, tau=0.2, nstep=5,
+                          n_inner=4, n_chains=2, ntraj=2,
+                          cg_tol_force=1e-12, cg_tol_mh=1e-12,
+                          cg_maxiter=400)
+    z, hist = run_fthmc_dyn(params, spec, cfg, key=jax.random.PRNGKey(2))
+    dh = np.asarray(hist.dh)
+    assert np.all(np.abs(dh) < 0.08), dh
