@@ -37,16 +37,19 @@ from fthmc_tpu.schwinger import (SchwingerConfig, _run_fthmc_dyn_scan,
 def parse_row(s: str):
     parts = s.split(":")
     sampler, nstep, n_inner = parts[0], int(parts[1]), int(parts[2])
-    ckpt, tau, warm = None, None, True
+    ckpt, tau, warm, hb_dm, n_mid = None, None, True, 0.0, 1
     for p in parts[3:]:
         if p.startswith("tau="):
             tau = float(p[4:])
+        elif p.startswith("hb="):          # hb=DMxNMID, e.g. hb=0.4x2
+            dm, _, nm = p[3:].partition("x")
+            hb_dm, n_mid = float(dm), int(nm or 1)
         elif p == "cold":
             warm = False
         else:
             ckpt = p
     return dict(sampler=sampler, nstep=nstep, n_inner=n_inner, ckpt=ckpt,
-                tau=tau, warm=warm)
+                tau=tau, warm=warm, hb_dm=hb_dm, n_mid=n_mid)
 
 
 def main():
@@ -59,6 +62,7 @@ def main():
     p.add_argument("--tau-ft", type=float, default=0.5)
     p.add_argument("--chains", type=int, default=64)
     p.add_argument("--ntraj", type=int, default=192)
+    p.add_argument("--cg-maxiter", type=int, default=1000)
     p.add_argument("--plain-state", default=None,
                    help="run_state.npz with a thermalized plain chain")
     p.add_argument("--ft-state", default=None,
@@ -104,7 +108,8 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
         cfg = SchwingerConfig(
             L=args.L, beta=args.beta, mass=args.mass, tau=tau,
             nstep=r["nstep"], n_inner=r["n_inner"], n_chains=args.chains,
-            warm_start=r["warm"])
+            warm_start=r["warm"], hasenbusch_dm=r["hb_dm"],
+            n_mid=r["n_mid"], cg_maxiter=args.cg_maxiter)
         key = jax.random.PRNGKey(7000 + i)
         # first call compiles (jit is static in ntraj) and advances the
         # chain; the SECOND call — chained state, fresh key — is timed.

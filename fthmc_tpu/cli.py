@@ -384,7 +384,11 @@ def cmd_schwinger(args) -> dict:
         L=args.L, beta=args.beta, mass=args.mass, tau=args.tau,
         nstep=args.nstep, n_chains=args.chains, ntraj=args.ntraj,
         integrator=args.integrator, warm_start=not args.no_warm_start,
-        eo_precond=not args.no_eo, n_inner=args.n_inner)
+        eo_precond=not args.no_eo, n_inner=args.n_inner,
+        hasenbusch_dm=args.hasenbusch_dm, n_mid=args.n_mid)
+    if cfg.hasenbusch_dm > 0 and args.ckpt:
+        raise SystemExit("--hasenbusch-dm is implemented for plain "
+                         "dynamical HMC (omit --ckpt)")
     ft = bool(args.ckpt)
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
@@ -760,6 +764,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "counts OUTER fermion kicks, each drifting "
                          "through N inner gauge(-flow)-only Omelyan "
                          "steps; 0 = single-scale")
+    sp.add_argument("--hasenbusch-dm", type=float, default=0.0,
+                    help="Hasenbusch mass preconditioning (plain HMC): "
+                         "split det at m1 = mass + dm; 3-level nested "
+                         "Omelyan (nstep=ratio kicks, --n-mid heavy "
+                         "steps/segment, --n-inner gauge steps/segment)")
+    sp.add_argument("--n-mid", type=int, default=1,
+                    help="heavy-term steps per outer drift segment "
+                         "(Hasenbusch only)")
     sp.add_argument("--no-warm-start", action="store_true",
                     help="cold-start every force CG solve (exact "
                          "reversibility; ~2x more CG iterations)")

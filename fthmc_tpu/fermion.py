@@ -48,6 +48,7 @@ __all__ = [
     "pf_action_exact", "pf_action_lin", "pf_force", "CGResult",
     "chiral_condensate", "pion_correlator",
     "parity_mask", "dirac_hat", "dirac_hat_dag", "apply_mdagm_eo",
+    "hasenbusch_refresh", "ratio_action_exact", "ratio_action_lin",
 ]
 
 
@@ -303,6 +304,99 @@ def pion_correlator(theta: jnp.ndarray, mass: float, *, tol: float = 1e-10,
     s0, s1 = col(0), col(1)
     dens = (jnp.abs(s0) ** 2 + jnp.abs(s1) ** 2).sum(axis=-1)  # (..., L0, L1)
     return dens.sum(axis=-1)                                    # (..., L0)
+
+
+# ---------------------------------------------------------------------------
+# Hasenbusch mass preconditioning (hep-lat/0107019).
+#
+# Split the two-flavor determinant with an intermediate HEAVIER mass
+# m1 = m + dm (W = D(m1)):
+#
+#     det(D^dag D) = det(W^dag W) * det(R^{-1}),
+#     R = W (D^dag D)^{-1} W^dag,
+#
+# as two pseudofermion terms
+#     S1 = phi1^dag (W^dag W)^{-1} phi1      (heavy: cheap, moderate force)
+#     S2 = phi2^dag W (D^dag D)^{-1} W^dag phi2   (ratio: light solve,
+#                                                  SMALL force ~ O(dm))
+# The ratio force's small magnitude lets it sit on the COARSEST timescale
+# of a nested integrator, so the expensive light-mass solves happen only a
+# few times per trajectory — the standard production-QCD cost structure.
+# S1 reuses pf_action_{exact,lin} at mass m1 (identical form); only the
+# ratio term is new. Works on the full operator or the even-odd Schur
+# system alike (eo flag, same as everywhere else in this module).
+# ---------------------------------------------------------------------------
+
+
+def _dagger_apply(theta, psi, mass, eo):
+    return (dirac_hat_dag if eo else dirac_dag)(theta, psi, mass)
+
+
+def _apply(theta, psi, mass, eo):
+    return (dirac_hat if eo else dirac)(theta, psi, mass)
+
+
+@partial(jax.jit, static_argnames=("m_light", "m_heavy", "tol", "maxiter",
+                                   "eo"))
+def hasenbusch_refresh(key: jax.Array, theta: jnp.ndarray, m_light: float,
+                       m_heavy: float, *, tol: float = 1e-12,
+                       maxiter: int = 1000, eo: bool = False):
+    """Heatbath for BOTH Hasenbusch terms at fixed theta.
+
+    phi1 = W^dag chi1            -> S1(start) = chi1^dag chi1 exactly;
+    phi2 = W (W^dag W)^{-1} D^dag chi2  (= W^{-dag} D^dag chi2)
+                                 -> S2(start) = chi2^dag chi2 exactly
+    (one HEAVY solve; no light solve at refresh). Returns
+    (phi1, phi2, s0) with s0 = chi1^dag chi1 + chi2^dag chi2 per chain.
+    """
+    shape = theta.shape[:-3] + theta.shape[-2:] + (2,)
+    k1r, k1i, k2r, k2i = jax.random.split(key, 4)
+    chi1 = ((jax.random.normal(k1r, shape) +
+             1j * jax.random.normal(k1i, shape)) *
+            math.sqrt(0.5)).astype(jnp.complex64)
+    chi2 = ((jax.random.normal(k2r, shape) +
+             1j * jax.random.normal(k2i, shape)) *
+            math.sqrt(0.5)).astype(jnp.complex64)
+    if eo:
+        mask = parity_mask(shape, 0)
+        chi1 = chi1 * mask
+        chi2 = chi2 * mask
+    phi1 = _dagger_apply(theta, chi1, m_heavy, eo)
+    rhs = _dagger_apply(theta, chi2, m_light, eo)
+    sol = cg_solve(theta, rhs, m_heavy, tol=tol, maxiter=maxiter, eo=eo)
+    phi2 = _apply(theta, sol.x, m_heavy, eo)
+    s0 = jnp.real(_cdot(chi1, chi1)) + jnp.real(_cdot(chi2, chi2))
+    return phi1, phi2, s0
+
+
+def ratio_action_lin(theta: jnp.ndarray, phi2: jnp.ndarray,
+                     y_sol: jnp.ndarray, m_light: float, m_heavy: float,
+                     eo: bool = False) -> jnp.ndarray:
+    """Variational (gradient-exact) form of the Hasenbusch ratio action
+
+        S2 = b^dag M^{-1} b,  b(theta) = W^dag(theta) phi2,  M = D^dag D:
+        f(theta) = 2 Re<Y, b(theta)> - <Y, M(theta) Y>,
+        Y = stop_grad(M^{-1} b).
+
+    At the exact solution f = S2 and df/dtheta = dS2/dtheta exactly (both
+    the W^dag- and M-dependence are carried); first-order insensitive to
+    CG error in Y — same trick as pf_action_lin."""
+    op = apply_mdagm_eo if eo else apply_mdagm
+    y = jax.lax.stop_gradient(y_sol)
+    b = _dagger_apply(theta, phi2, m_heavy, eo)
+    return (2.0 * jnp.real(_cdot(y, b))
+            - jnp.real(_cdot(y, op(theta, y, m_light))))
+
+
+def ratio_action_exact(theta: jnp.ndarray, phi2: jnp.ndarray,
+                       m_light: float, m_heavy: float, *,
+                       tol: float = 1e-12, maxiter: int = 2000,
+                       x0: jnp.ndarray | None = None, eo: bool = False):
+    """S2 = (W^dag phi2)^dag (D^dag D)^{-1} (W^dag phi2) via a tight LIGHT
+    solve (Metropolis-quality). Returns (s2, Y) for warm-starting."""
+    b = _dagger_apply(theta, phi2, m_heavy, eo)
+    res = cg_solve(theta, b, m_light, x0, tol=tol, maxiter=maxiter, eo=eo)
+    return jnp.real(_cdot(b, res.x)), res.x
 
 
 # ---------------------------------------------------------------------------

@@ -47,7 +47,8 @@ from fthmc_tpu.models.flow import flow_forward
 __all__ = ["SchwingerConfig", "dyn_force", "hmc_step_dyn", "run_hmc_dyn",
            "run_hmc_dyn_chunked", "ft_dyn_force", "fthmc_step_dyn",
            "run_fthmc_dyn", "run_fthmc_dyn_chunked", "gauge_drift",
-           "nested_leapfrog_aux", "nested_omelyan_aux", "ft_gauge_force",
+           "nested_leapfrog_aux", "nested_omelyan_aux",
+           "nested_omelyan_3level", "hb_step_dyn", "ft_gauge_force",
            "ft_fermion_force"]
 
 
@@ -80,6 +81,18 @@ class SchwingerConfig:
     # required for FT, where the flow Jacobian roughens the fermion force
     # in latent space) or 'leapfrog' (fused kicks, nstep+1 solves).
     n_inner: int = 0
+    # Hasenbusch mass preconditioning (fermion.hasenbusch_refresh): if
+    # dm > 0 the determinant splits at m1 = mass + dm into a HEAVY term
+    # (cheap solves) and a RATIO term (light solves, O(dm)-small force),
+    # integrated on a 3-level nested Omelyan schedule:
+    #   nstep   = outer steps (ratio kicks, 2 light solves each),
+    #   n_mid   = heavy steps per outer drift segment (cheap solves),
+    #   n_inner = gauge steps per heavy drift segment (no solves).
+    # Requires n_inner >= 1. The payoff regime is light masses, where
+    # light solves dominate and the ratio force's small magnitude lets
+    # the outer scale stay coarse.
+    hasenbusch_dm: float = 0.0
+    n_mid: int = 1
 
     @property
     def dt(self) -> float:
@@ -218,6 +231,122 @@ def omelyan_aux(x, v, dt: float, nstep: int, force_fn, aux):
     return x, v, aux
 
 
+def nested_omelyan_3level(x, v, dt: float, nstep: int, n_mid: int,
+                          n_in: int, force_outer, force_mid, force_g, aux):
+    """Three-timescale nested Omelyan: outer kicks from force_outer
+    (ratio term — light solves), each outer drift segment integrated by
+    n_mid Omelyan steps of force_mid (heavy term — cheap solves), each
+    mid drift segment by n_in gauge-only Omelyan steps (no solves).
+    force_outer/force_mid: (x, aux) -> (f, aux); aux is shared (e.g. a
+    tuple of warm-start slots — each force reads/writes its own).
+    Symmetric composition of symplectic maps: reversible + exact."""
+    lam = _OMELYAN_LAMBDA
+
+    def mid_drift(x, v, span, aux):
+        mdt = span / n_mid
+
+        def mbody(carry, _):
+            x, v, aux = carry
+            x, v = gauge_drift(x, v, lam * mdt, n_in, force_g)
+            f, aux = force_mid(x, aux)
+            v = v - 0.5 * mdt * f
+            x, v = gauge_drift(x, v, (1.0 - 2.0 * lam) * mdt, n_in,
+                               force_g)
+            f, aux = force_mid(x, aux)
+            v = v - 0.5 * mdt * f
+            x, v = gauge_drift(x, v, lam * mdt, n_in, force_g)
+            return (x, v, aux), None
+
+        (x, v, aux), _ = jax.lax.scan(mbody, (x, v, aux), None,
+                                      length=n_mid)
+        return x, v, aux
+
+    def body(carry, _):
+        x, v, aux = carry
+        x, v, aux = mid_drift(x, v, lam * dt, aux)
+        f, aux = force_outer(x, aux)
+        v = v - 0.5 * dt * f
+        x, v, aux = mid_drift(x, v, (1.0 - 2.0 * lam) * dt, aux)
+        f, aux = force_outer(x, aux)
+        v = v - 0.5 * dt * f
+        x, v, aux = mid_drift(x, v, lam * dt, aux)
+        return (x, v, aux), None
+
+    (x, v, aux), _ = jax.lax.scan(body, (x, v, aux), None, length=nstep)
+    return x, v, aux
+
+
+def hb_step_dyn(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
+                cfg: SchwingerConfig):
+    """One batched Hasenbusch-preconditioned dynamical-HMC trajectory:
+    det(D^dag D) split at m1 = mass + hasenbusch_dm (fermion.py), 3-level
+    nested Omelyan (ratio / heavy / gauge). x: (B, 2, L, L)."""
+    m1 = cfg.mass + cfg.hasenbusch_dm
+    kv, kp, ka = jax.random.split(key, 3)
+    v0 = jax.random.normal(kv, x.shape, x.dtype)
+    phi1, phi2, s_f0 = fermion.hasenbusch_refresh(
+        kp, x, cfg.mass, m1, tol=cfg.cg_tol_mh, maxiter=cfg.cg_maxiter,
+        eo=cfg.eo_precond)
+
+    def heavy_force(xx, aux):
+        x1g, yg = aux
+        guess = x1g if cfg.warm_start else jnp.zeros_like(phi1)
+        res = fermion.cg_solve(xx, phi1, m1, guess, tol=cfg.cg_tol_force,
+                               maxiter=cfg.cg_maxiter, eo=cfg.eo_precond)
+
+        def s1(th):
+            return jnp.sum(fermion.pf_action_lin(th, phi1, res.x, m1,
+                                                 eo=cfg.eo_precond))
+
+        return jax.grad(s1)(xx), (res.x, yg)
+
+    def ratio_force(xx, aux):
+        x1g, yg = aux
+        guess = yg if cfg.warm_start else jnp.zeros_like(phi2)
+        b = (fermion.dirac_hat_dag if cfg.eo_precond
+             else fermion.dirac_dag)(xx, phi2, m1)
+        res = fermion.cg_solve(xx, b, cfg.mass, guess,
+                               tol=cfg.cg_tol_force,
+                               maxiter=cfg.cg_maxiter, eo=cfg.eo_precond)
+
+        def s2(th):
+            return jnp.sum(fermion.ratio_action_lin(th, phi2, res.x,
+                                                    cfg.mass, m1,
+                                                    eo=cfg.eo_precond))
+
+        return jax.grad(s2)(xx), (x1g, res.x)
+
+    def gauge_force(xx):
+        return (jax.vmap(lambda c: lattice.force(c, cfg.beta))(xx)
+                if xx.ndim == 4 else lattice.force(xx, cfg.beta))
+
+    aux0 = (jnp.zeros_like(phi1), jnp.zeros_like(phi2))
+    x1, v1, aux = nested_omelyan_3level(
+        x, v0, cfg.dt, cfg.nstep, cfg.n_mid, max(cfg.n_inner, 1),
+        ratio_force, heavy_force, gauge_force, aux0)
+    x1 = lattice.wrap(x1)
+
+    s1_end, _ = fermion.pf_action_exact(
+        x1, phi1, m1, tol=cfg.cg_tol_mh, maxiter=cfg.cg_maxiter,
+        x0=aux[0] if cfg.warm_start else None, eo=cfg.eo_precond)
+    s2_end, _ = fermion.ratio_action_exact(
+        x1, phi2, cfg.mass, m1, tol=cfg.cg_tol_mh, maxiter=cfg.cg_maxiter,
+        x0=aux[1] if cfg.warm_start else None, eo=cfg.eo_precond)
+    dsg = jax.vmap(lambda a, b: lattice.delta_action(a, b, cfg.beta))(x1, x)
+    dh = dsg + (s1_end + s2_end - s_f0) + _kinetic_delta(v1, v0)
+    exp_mdh = jnp.exp(-dh)
+    acc = jax.random.uniform(ka, dh.shape, dh.dtype) < exp_mdh
+
+    accb = acc[:, None, None, None]
+    x_new = jnp.where(accb, x1, x)
+    q_new = lattice.batch_charges(x_new)
+    metrics = TrajMetrics(
+        dh=dh, exp_mdh=exp_mdh, acc=acc.astype(x.dtype),
+        plaq=lattice.batch_plaq_mean(x_new), q=q_new,
+        dq=jnp.abs(q_new - q_old))
+    return x_new, q_new, metrics
+
+
 def hmc_step_dyn(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
                  cfg: SchwingerConfig):
     """One batched dynamical-fermion HMC trajectory. x: (B, 2, L, L)."""
@@ -283,10 +412,11 @@ def hmc_step_dyn(key: jax.Array, x: jnp.ndarray, q_old: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "ntraj"))
 def _run_hmc_dyn_scan(key, x0, cfg: SchwingerConfig, ntraj: int):
     q0 = lattice.batch_charges(x0)
+    step = hb_step_dyn if cfg.hasenbusch_dm > 0 else hmc_step_dyn
 
     def body(carry, key):
         x, q = carry
-        x, q, m = hmc_step_dyn(key, x, q, cfg)
+        x, q, m = step(key, x, q, cfg)
         return (x, q), m
 
     keys = jax.random.split(key, ntraj)

@@ -259,3 +259,68 @@ def test_ft_mts_exp_mdh_near_one():
     z, hist = run_fthmc_dyn(params, spec, cfg, key=jax.random.PRNGKey(2))
     dh = np.asarray(hist.dh)
     assert np.all(np.abs(dh) < 0.08), dh
+
+
+# ---------------------------------------------- Hasenbusch preconditioning
+
+def test_hasenbusch_exp_mdh_near_one():
+    """Heatbath + ratio action/force consistency: at fine steps dH ~ 0 for
+    the 3-level nested integrator (validates S1/S2 split, the W^{-dag}
+    heatbath, and the variational ratio force in one shot)."""
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, hasenbusch_dm=0.5,
+                          tau=0.4, nstep=4, n_mid=2, n_inner=2,
+                          n_chains=4, ntraj=2, cg_tol_force=1e-12,
+                          cg_tol_mh=1e-12, cg_maxiter=400)
+    _, hist = run_hmc_dyn(cfg, key=jax.random.PRNGKey(31))
+    dh = np.asarray(hist.dh)
+    assert np.all(np.abs(dh) < 0.05), dh
+
+
+@pytest.mark.slow
+def test_hasenbusch_dh_scales_as_dt_squared():
+    def max_dh(nstep):
+        cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, hasenbusch_dm=0.5,
+                              tau=0.5, nstep=nstep, n_mid=2, n_inner=2,
+                              n_chains=4, ntraj=1, cg_tol_force=1e-12,
+                              cg_tol_mh=1e-12, cg_maxiter=400)
+        x0 = lattice.hot_start(jax.random.PRNGKey(3), 4, 4)
+        _, hist = run_hmc_dyn(cfg, x0=x0, key=jax.random.PRNGKey(1))
+        return float(np.abs(np.asarray(hist.dh)).max())
+
+    a, b = max_dh(2), max_dh(4)
+    assert b < a / 2.0, (a, b)
+
+
+def test_hasenbusch_start_action_is_chi_sq():
+    """S1 + S2 at the heatbath point equals chi1^2 + chi2^2 EXACTLY (no
+    solve needed at trajectory start) - checked by re-solving."""
+    x = lattice.hot_start(jax.random.PRNGKey(41), 2, 4)
+    m, m1 = 0.3, 0.8
+    phi1, phi2, s0 = fermion.hasenbusch_refresh(
+        jax.random.PRNGKey(42), x, m, m1, tol=1e-14, maxiter=600, eo=True)
+    s1, _ = fermion.pf_action_exact(x, phi1, m1, tol=1e-14, maxiter=600,
+                                    eo=True)
+    s2, _ = fermion.ratio_action_exact(x, phi2, m, m1, tol=1e-14,
+                                       maxiter=600, eo=True)
+    np.testing.assert_allclose(np.asarray(s1 + s2), np.asarray(s0),
+                               rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_hasenbusch_matches_standard_pf_plaquette():
+    """The Hasenbusch split simulates the SAME theory: <plaq> agrees with
+    the standard single-pseudofermion sampler within statistics."""
+    base = dict(L=6, beta=2.0, mass=0.3, tau=1.0, n_chains=16, ntraj=300,
+                cg_tol_force=1e-10, cg_tol_mh=1e-12, cg_maxiter=400)
+    cfg_std = SchwingerConfig(nstep=10, **base)
+    cfg_hb = SchwingerConfig(nstep=3, n_mid=2, n_inner=3,
+                             hasenbusch_dm=0.5, **base)
+    _, h_std = run_hmc_dyn_chunked(cfg_std, block=100,
+                                   key=jax.random.PRNGKey(50))
+    _, h_hb = run_hmc_dyn_chunked(cfg_hb, block=100,
+                                  key=jax.random.PRNGKey(51))
+    p_std = np.asarray(h_std.plaq)[150:].mean()
+    p_hb = np.asarray(h_hb.plaq)[150:].mean()
+    e_std = np.asarray(h_std.plaq)[150:].std() / np.sqrt(150)
+    assert abs(p_std - p_hb) < 6 * max(e_std, 1e-4), (p_std, p_hb)
+    assert abs(np.asarray(h_hb.exp_mdh)[150:].mean() - 1.0) < 0.05
