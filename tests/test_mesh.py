@@ -162,3 +162,20 @@ def test_sharded_run_fthmc_dyn_exactness(params2, spec2):
     assert h.acc.shape == (8, 16)
     em = np.asarray(h.exp_mdh)[2:]
     assert abs(em.mean() - 1.0) < 0.15
+
+
+def test_sharded_run_hmc_dyn_hasenbusch_mts():
+    """Hasenbusch + 3-level MTS compose with chain-dp sharding untouched
+    (_run_hmc_dyn_scan dispatches on cfg inside the shard_map program)."""
+    from fthmc_tpu.parallel.mesh import sharded_run_hmc_dyn
+    from fthmc_tpu.schwinger import SchwingerConfig
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, hasenbusch_dm=0.5,
+                          tau=0.4, nstep=2, n_mid=2, n_inner=2,
+                          n_chains=16, ntraj=6, cg_tol_force=1e-10,
+                          cg_tol_mh=1e-12, cg_maxiter=300)
+    mesh = make_chain_mesh()
+    x, h = sharded_run_hmc_dyn(mesh, cfg, key=jax.random.PRNGKey(3))
+    assert h.acc.shape == (6, 16)
+    em = np.asarray(h.exp_mdh)
+    assert abs(em.mean() - 1.0) < 0.1
+    assert bool(np.all(np.isfinite(np.asarray(h.dh))))
