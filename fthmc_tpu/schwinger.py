@@ -522,6 +522,9 @@ def fthmc_step_dyn(params, spec: FlowSpec, key: jax.Array, z: jnp.ndarray,
 
     The pseudofermion heatbath happens on the PHYSICAL field x = T(z) (phi
     lives in physical space; the flow only reshapes the gauge measure)."""
+    if cfg.hasenbusch_dm > 0:
+        raise ValueError("hasenbusch_dm is implemented for plain dynamical "
+                         "HMC only (hb_step_dyn); unset it for FT-HMC")
     remat = resolve_remat(remat, z.shape)
     kv, kp, ka = jax.random.split(key, 3)
     v0 = jax.random.normal(kv, z.shape, z.dtype)
