@@ -108,7 +108,9 @@ def main():
             hist[k].extend(np.asarray(getattr(h, k)))
         done += n
         traj_done_this_session += n
-        np.savez_compressed(
+        # uncompressed: the full-history re-save is O(ntraj) per block
+        # and compression made it the dominant cost late in long runs
+        np.savez(
             state_path, z=np.asarray(z), done=done, key=np.asarray(key),
             **{k: np.asarray(v) for k, v in hist.items()})
         if done % (4 * args.block) == 0 or done == args.ntraj:
