@@ -14,8 +14,9 @@ Example:
     --ft-state runs/schw_b5_ft_t05n24/run_state.npz \
     --row plain:4:8 --row ft:4:6:artifacts/flow8x8_b3_rncp24 \
     --row ft:4:3:artifacts/flow8x8_b3_rncp24_ftb6
-Row syntax: sampler:nstep:n_inner[:ckpt][:tau=X][:cold]
-(n_inner=0 -> single-scale Omelyan; 'cold' -> warm_start=False).
+Row syntax: sampler:nstep:n_inner[:ckpt][:tau=X][:hb=DMxNMID][:cold]
+(n_inner=0 -> single-scale Omelyan; 'cold' -> warm_start=False;
+hb=0.45x2 -> Hasenbusch split at m+0.45 with n_mid=2).
 """
 import argparse
 import json
@@ -100,49 +101,48 @@ def main():
 
 
 def _run_row(args, rs, i, rows, get_state, get_flow):
-    if True:
-        r = parse_row(rs)
-        ft = r["sampler"] == "ft"
-        tau = r["tau"] if r["tau"] is not None else (
-            args.tau_ft if ft else args.tau_plain)
-        cfg = SchwingerConfig(
-            L=args.L, beta=args.beta, mass=args.mass, tau=tau,
-            nstep=r["nstep"], n_inner=r["n_inner"], n_chains=args.chains,
-            warm_start=r["warm"], hasenbusch_dm=r["hb_dm"],
-            n_mid=r["n_mid"], cg_maxiter=args.cg_maxiter)
-        key = jax.random.PRNGKey(7000 + i)
-        # first call compiles (jit is static in ntraj) and advances the
-        # chain; the SECOND call — chained state, fresh key — is timed.
-        if ft:
-            params, spec = get_flow(r["ckpt"])
-            z = get_state(args.ft_state)
-            z1, _ = _run_fthmc_dyn_scan(params, spec, jax.random.fold_in(
-                key, 1), z, cfg, args.ntraj)
-            float(jnp.sum(z1))
-            t0 = time.time()
-            z2, h = _run_fthmc_dyn_scan(params, spec, key, z1, cfg,
-                                        args.ntraj)
-            float(jnp.sum(z2))
-        else:
-            x = get_state(args.plain_state)
-            x1, _ = _run_hmc_dyn_scan(jax.random.fold_in(key, 1), x, cfg,
-                                      args.ntraj)
-            float(jnp.sum(x1))
-            t0 = time.time()
-            x2, h = _run_hmc_dyn_scan(key, x1, cfg, args.ntraj)
-            float(jnp.sum(x2))
-        wall = time.time() - t0
-        row = dict(**r, tau_used=tau,
-                   acc=float(np.asarray(h.acc).mean()),
-                   exp_mdh=float(np.asarray(h.exp_mdh).mean()),
-                   plaq=float(np.asarray(h.plaq).mean()),
-                   q_mobility=float(np.mean(
-                       np.abs(np.diff(np.asarray(h.q), axis=0)) ** 2)),
-                   s_per_traj=wall / args.ntraj, wall_s=wall)
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-        with open(os.path.join(args.out, "scan.json"), "w") as f:
-            json.dump({"args": vars(args), "rows": rows}, f, indent=1)
+    r = parse_row(rs)
+    ft = r["sampler"] == "ft"
+    tau = r["tau"] if r["tau"] is not None else (
+        args.tau_ft if ft else args.tau_plain)
+    cfg = SchwingerConfig(
+        L=args.L, beta=args.beta, mass=args.mass, tau=tau,
+        nstep=r["nstep"], n_inner=r["n_inner"], n_chains=args.chains,
+        warm_start=r["warm"], hasenbusch_dm=r["hb_dm"],
+        n_mid=r["n_mid"], cg_maxiter=args.cg_maxiter)
+    key = jax.random.PRNGKey(7000 + i)
+    # first call compiles (jit is static in ntraj) and advances the
+    # chain; the SECOND call — chained state, fresh key — is timed.
+    if ft:
+        params, spec = get_flow(r["ckpt"])
+        z = get_state(args.ft_state)
+        z1, _ = _run_fthmc_dyn_scan(params, spec, jax.random.fold_in(
+            key, 1), z, cfg, args.ntraj)
+        float(jnp.sum(z1))
+        t0 = time.time()
+        z2, h = _run_fthmc_dyn_scan(params, spec, key, z1, cfg,
+                                    args.ntraj)
+        float(jnp.sum(z2))
+    else:
+        x = get_state(args.plain_state)
+        x1, _ = _run_hmc_dyn_scan(jax.random.fold_in(key, 1), x, cfg,
+                                  args.ntraj)
+        float(jnp.sum(x1))
+        t0 = time.time()
+        x2, h = _run_hmc_dyn_scan(key, x1, cfg, args.ntraj)
+        float(jnp.sum(x2))
+    wall = time.time() - t0
+    row = dict(**r, tau_used=tau,
+               acc=float(np.asarray(h.acc).mean()),
+               exp_mdh=float(np.asarray(h.exp_mdh).mean()),
+               plaq=float(np.asarray(h.plaq).mean()),
+               q_mobility=float(np.mean(
+                   np.abs(np.diff(np.asarray(h.q), axis=0)) ** 2)),
+               s_per_traj=wall / args.ntraj, wall_s=wall)
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+    with open(os.path.join(args.out, "scan.json"), "w") as f:
+        json.dump({"args": vars(args), "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":

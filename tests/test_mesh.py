@@ -164,6 +164,7 @@ def test_sharded_run_fthmc_dyn_exactness(params2, spec2):
     assert abs(em.mean() - 1.0) < 0.15
 
 
+@pytest.mark.slow
 def test_sharded_run_hmc_dyn_hasenbusch_mts():
     """Hasenbusch + 3-level MTS compose with chain-dp sharding untouched
     (_run_hmc_dyn_scan dispatches on cfg inside the shard_map program)."""

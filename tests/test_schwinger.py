@@ -247,6 +247,7 @@ def test_ft_force_split_sums_to_total():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ft_mts_exp_mdh_near_one():
     """FT-HMC with the nested integrator and a random flow: exp(-dH) ~ 1."""
     spec = FlowSpec(n_layers=2, coupling="rncp", n_mixture=2,
