@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the 8-virtual-device CPU mesh."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fthmc_tpu import lattice
