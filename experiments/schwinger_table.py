@@ -22,6 +22,7 @@ ROWS = [
     (6.0, "plain", "schwinger_b6_plain_t1n4.json", "tau=1 n4 B=128"),
     (6.0, "plain", "schwinger_b6_plain_t2n8.json", "tau=2 n8 B=128"),
     (6.0, "FT", "schwinger_b6_ft_ftb6_t05n8.json", "ftb6 tau=.5 n8 B=128"),
+    (6.0, "FT", "schwinger_b6_ft_ftb6_t05n4.json", "ftb6 tau=.5 n4 B=128"),
     (7.0, "plain", "schwinger_b7_plain_t2n8.json", "tau=2 n8 B=128"),
     (7.0, "FT", "schwinger_b7_ft_ftb6_t05n8.json", "ftb6 tau=.5 n8 B=128"),
     (7.0, "FT", "schwinger_b7_ft_ftb6_t05n4.json", "ftb6 tau=.5 n4 B=128"),
