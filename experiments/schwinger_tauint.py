@@ -49,6 +49,10 @@ def main():
     p.add_argument("--block", type=int, default=128)
     p.add_argument("--therm-frac", type=float, default=0.25)
     p.add_argument("--start", choices=["hot", "cold"], default="cold")
+    p.add_argument("--block-timeout", type=int, default=900,
+                   help="max wall seconds per block before assuming a "
+                        "silent TPU-worker death (first block; later "
+                        "blocks use 6x their own measured wall)")
     p.add_argument("--no-eo", action="store_true",
                    help="disable even-odd preconditioning")
     args = p.parse_args()
@@ -87,22 +91,50 @@ def main():
         hist = {"acc": [], "plaq": [], "exp_mdh": [], "q": []}
         done = 0
 
+    # Watchdog: the axon TPU worker sometimes dies SILENTLY - the sync
+    # blocks forever instead of raising (observed repeatedly in round 3).
+    # SIGALRM bounds each block; the timeout scales with the first
+    # successful block's wall time (plus compile headroom on the first).
+    import signal
+
+    class BlockTimeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise BlockTimeout("block wall-time watchdog fired")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
     t0 = time.time()
     traj_done_this_session = 0
+    block_wall = None
     while done < args.ntraj:
         n = min(args.block, args.ntraj - done)
         key, krun = jax.random.split(key)
+        budget = (args.block_timeout if block_wall is None
+                  else min(args.block_timeout, int(6 * block_wall) + 60))
+        tb = time.time()
         try:
+            signal.alarm(budget)
             if ft:
                 z_new, h = _run_fthmc_dyn_scan(params, spec, krun, z, cfg, n)
             else:
                 z_new, h = _run_hmc_dyn_scan(krun, z, cfg, n)
             float(jnp.sum(z_new))  # real sync (axon tunnel)
+            signal.alarm(0)
+        except BlockTimeout:
+            signal.alarm(0)
+            print(f"  block at {done} HUNG (> {budget}s, silent worker "
+                  "death); retrying in 60 s", flush=True)
+            time.sleep(60)
+            continue
         except Exception as e:
+            signal.alarm(0)
             print(f"  block at {done} failed ({str(e)[:80]}); retrying "
                   "in 30 s", flush=True)
             time.sleep(30)
             continue
+        block_wall = time.time() - tb
         z = z_new
         for k in hist:
             hist[k].extend(np.asarray(getattr(h, k)))
