@@ -75,8 +75,11 @@ def main():
     states, flows = {}, {}
 
     # host-side caches: a TPU worker crash invalidates device buffers, so
-    # every row (re-)uploads from numpy
+    # every row (re-)uploads from numpy. path=None -> cold start (zeros;
+    # the first, untimed call of each row thermalizes).
     def get_state(path):
+        if path is None:
+            return jnp.zeros((args.chains, 2, args.L, args.L), jnp.float32)
         if path not in states:
             states[path] = np.load(path)["z"][:args.chains]
         return jnp.asarray(states[path])
@@ -116,6 +119,9 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
     if ft:
         params, spec = get_flow(r["ckpt"])
         z = get_state(args.ft_state)
+        if args.ft_state is None:
+            from fthmc_tpu.models.flow import flow_reverse
+            z, _ = flow_reverse(params, z, spec)   # z0 = f^{-1}(0): cold
         z1, _ = _run_fthmc_dyn_scan(params, spec, jax.random.fold_in(
             key, 1), z, cfg, args.ntraj)
         float(jnp.sum(z1))
