@@ -15,6 +15,8 @@ import os
 
 ROWS = [
     # (beta, sampler label, artifact file, config note)
+    (4.0, "plain", "schwinger_b4_plain_t2n8.json", "tau=2 n8 B=128"),
+    (4.0, "FT", "schwinger_b4_ft_ftb6_t05n8.json", "ftb6 tau=.5 n8 B=128"),
     (5.0, "plain", "schwinger_b5_plain_t1n4.json", "tau=1 n4 B=64"),
     (5.0, "plain", "schwinger_b5_plain_t2n8.json", "tau=2 n8 B=128"),
     (5.0, "FT", "schwinger_b5_ft_t05n24.json", "beta3 flow tau=.5 n24 B=64"),
