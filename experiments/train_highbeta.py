@@ -51,6 +51,10 @@ def main():
     p.add_argument("--activation", default="silu")
     p.add_argument("--s-clip", type=float, default=3.0)
     p.add_argument("--with-force", action="store_true")
+    p.add_argument("--force-weight", type=float, default=0.0,
+                   help="joint smoothness regularizer: loss = D_KL + "
+                        "w * mean(F_eff^2) (round-3: targets the "
+                        "seed-sensitive ruggedness of pure-KL optima)")
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--sched", action="store_true",
                    help="reduce-on-plateau LR schedule")
@@ -86,7 +90,8 @@ def main():
                       with_force=args.with_force,
                       beta_init=args.beta_init,
                       beta_anneal_frac=args.anneal_frac,
-                      grad_clip=args.grad_clip)
+                      grad_clip=args.grad_clip,
+                      force_weight=args.force_weight)
     state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     if args.init_ckpt:
         from fthmc_tpu.checkpoint import load_checkpoint

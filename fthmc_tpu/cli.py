@@ -201,7 +201,8 @@ def cmd_train(args) -> dict:
                       with_force=args.with_force,
                       beta_init=getattr(args, "beta_init", None),
                       beta_anneal_frac=getattr(args, "anneal_frac", 0.7),
-                      grad_clip=getattr(args, "grad_clip", None))
+                      grad_clip=getattr(args, "grad_clip", None),
+                      force_weight=getattr(args, "force_weight", 0.0))
     outdir = args.outdir or cfg.logdir()
     ckptdir = os.path.join(outdir, "checkpoints")
     logger.rule(f"train flow {cfg.L}x{cfg.L} beta={cfg.beta} "
@@ -697,6 +698,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-size", type=int, default=64)
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--with-force", action="store_true")
+    sp.add_argument("--force-weight", type=float, default=0.0,
+                    dest="force_weight",
+                    help="smoothness-regularized joint objective: loss = "
+                         "D_KL + w * mean(F_eff^2) on the training batch "
+                         "(0 = off). Steers KL training toward "
+                         "leapfrog-integrable flows.")
     sp.add_argument("--beta-init", type=float, default=None,
                     help="beta-annealed training: ramp beta from this value")
     sp.add_argument("--grad-clip", type=float, default=None)

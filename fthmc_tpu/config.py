@@ -142,6 +142,15 @@ class TrainConfig:
     with_force: bool = False      # add force-matching objective
     force_lr_factor: float = 0.01  # force-matching LR = base_lr * this
                                    # (prototype ipynb/ft_hmc.py:320)
+    force_weight: float = 0.0     # smoothness-regularized JOINT objective:
+                                   # loss = dkl_factor*D_KL + force_weight *
+                                   # E[mean(F_eff^2)] on the SAME prior batch
+                                   # (per-dof mean, so the scale is L- and
+                                   # batch-stable). Distinct from with_force
+                                   # (the reference prototype's ALTERNATING
+                                   # force step at lr/100): this shapes the
+                                   # KL optimum itself toward leapfrog-smooth
+                                   # maps. No reference counterpart; 0 = off.
     dkl_factor: float = 1.0
     beta_init: float | None = None  # beta-annealed training: start from this
                                     # beta and ramp linearly to `beta` over

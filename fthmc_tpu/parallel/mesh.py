@@ -260,7 +260,7 @@ def sharded_train_era(mesh: Mesh, state, spec, *, batch: int, L: int,
                       beta: float, dkl_factor: float = 1.0,
                       base_lr: float = 1e-3, n_epoch: int = 100,
                       sched=None, betas=None, grad_clip: float | None = None,
-                      axis: str = "chains"):
+                      axis: str = "chains", force_weight: float = 0.0):
     """One training era (n_epoch reverse-KL steps) data-parallel over the
     mesh: each device samples batch/n_dev configurations, gradients psum
     over ICI, the optimizer update is computed identically on every device
@@ -297,7 +297,13 @@ def sharded_train_era(mesh: Mesh, state, spec, *, batch: int, L: int,
                 logq = prior.log_prob(z) - logdet
                 logp = -_lat.batch_action(x, beta_e)
                 dkl = jax.lax.pmean(jnp.mean(logq - logp), axis)
-                return dkl_factor * dkl, (logp, logq, x, z, dkl)
+                loss = dkl_factor * dkl
+                if force_weight:
+                    from fthmc_tpu.hmc import ft_force
+                    f = ft_force(params, spec, z, beta_e)
+                    loss = loss + force_weight * jax.lax.pmean(
+                        jnp.mean(f * f), axis)
+                return loss, (logp, logq, x, z, dkl)
 
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)

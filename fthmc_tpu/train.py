@@ -95,19 +95,34 @@ def sample_and_logq(params, spec: FlowSpec, key: jax.Array, batch: int, L: int,
 
 def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
                     L: int, beta: float, dkl_factor: float = 1.0,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, force_weight: float = 0.0):
     """loss = dkl_factor * E_q[logq - logp], logp = -S(x).
-    Returns (loss, aux dict). (reference train_step, train.py:192-204)"""
+    Returns (loss, aux dict). (reference train_step, train.py:192-204)
+
+    force_weight > 0 adds the smoothness regularizer
+    force_weight * mean(F_eff^2) (per-dof mean over the SAME prior batch,
+    F_eff = dS_eff/dz through the flow) to the loss — a JOINT objective
+    that steers KL training toward leapfrog-integrable maps, unlike the
+    reference prototype's alternating force-matching step
+    (ipynb/ft_hmc.py:253-299). Round-2/3 finding this targets: pure-KL
+    optima are seed-sensitively rugged (BENCH.md 12-layer retrains)."""
     x, z, logq = sample_and_logq(params, spec, key, batch, L, dtype)
     logp = -lattice.batch_action(x, beta)
     dkl = calc_dkl(logp, logq)
     aux = {"logp": logp, "logq": logq, "x": x, "z": z, "dkl": dkl}
-    return dkl_factor * dkl, aux
+    loss = dkl_factor * dkl
+    if force_weight:
+        f = ft_force(params, spec, z, beta)
+        fsq = jnp.mean(f * f)
+        aux["force_sq"] = fsq
+        loss = loss + force_weight * fsq
+    return loss, aux
 
 
 def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
                      beta, dkl_factor: float, base_lr: float,
-                     grad_clip: float | None = None):
+                     grad_clip: float | None = None,
+                     force_weight: float = 0.0):
     """One reverse-KL training step -> (new_state, metrics dict).
 
     Metrics mirror the reference (train.py:217-226): ess, logp, logq,
@@ -118,7 +133,7 @@ def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
 
     def loss_fn(params):
         return reverse_kl_loss(params, spec, kstep, batch, L, beta,
-                               dkl_factor)
+                               dkl_factor, force_weight=force_weight)
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
@@ -132,6 +147,8 @@ def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
 
     q = lattice.batch_charges(aux["x"])
     qi = lattice.batch_charges(aux["z"])
+    # "loss_dkl" is the TOTAL objective (what the plateau scheduler watches);
+    # "dkl" is the pure KL part (identical unless force_weight > 0).
     metrics = {
         "loss_dkl": loss,
         "dkl": aux["dkl"],
@@ -142,6 +159,8 @@ def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
         "dq": jnp.abs(q - qi),
         "plaq": jnp.mean(aux["logp"]) / (beta * L * L),
     }
+    if "force_sq" in aux:
+        metrics["force_sq"] = aux["force_sq"]
     new_state = TrainState(params, opt_state, key, state.step + 1,
                            state.lr_scale, state.best_loss,
                            state.plateau_count)
@@ -149,8 +168,8 @@ def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
 
 
 train_step = partial(jax.jit, static_argnames=(
-    "spec", "batch", "L", "beta", "dkl_factor", "base_lr", "grad_clip"))(
-    _train_step_impl)
+    "spec", "batch", "L", "beta", "dkl_factor", "base_lr", "grad_clip",
+    "force_weight"))(_train_step_impl)
 
 
 def distill_latents(params, pre_params, spec: FlowSpec, key: jax.Array,
@@ -246,13 +265,14 @@ def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
 @partial(jax.jit, static_argnames=("spec", "batch", "L", "beta",
                                    "dkl_factor", "base_lr", "n_epoch",
                                    "sched", "with_force", "force_lr_factor",
-                                   "grad_clip"))
+                                   "grad_clip", "force_weight"))
 def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
               beta: float, dkl_factor: float, base_lr: float, n_epoch: int,
               sched: SchedulerConfig | None = None,
               with_force: bool = False, force_lr_factor: float = 0.01,
               betas: jnp.ndarray | None = None,
-              grad_clip: float | None = None):
+              grad_clip: float | None = None,
+              force_weight: float = 0.0):
     """One ERA (n_epoch steps) as a single compiled lax.scan program.
 
     Removes per-step host dispatch entirely (the reference pays a Python
@@ -268,7 +288,8 @@ def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
 
     def body(state, beta_e):
         state, metrics = _train_step_impl(state, spec, batch, L, beta_e,
-                                          dkl_factor, base_lr, grad_clip)
+                                          dkl_factor, base_lr, grad_clip,
+                                          force_weight=force_weight)
         if with_force:
             state, fmetrics = _force_step_impl(state, spec, batch, L, beta_e,
                                                base_lr, force_lr_factor,
@@ -354,7 +375,8 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
                 mesh, state, spec, batch=cfg.batch_size, L=cfg.L,
                 beta=cfg.beta, dkl_factor=cfg.dkl_factor,
                 base_lr=cfg.base_lr, n_epoch=cfg.n_epoch, sched=scheduler,
-                betas=anneal_betas(cfg, era), grad_clip=cfg.grad_clip)
+                betas=anneal_betas(cfg, era), grad_clip=cfg.grad_clip,
+                force_weight=cfg.force_weight)
         else:
             state, stacked = train_era(
                 state, spec, cfg.batch_size, cfg.L, cfg.beta, cfg.dkl_factor,
@@ -362,7 +384,8 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
                 with_force=cfg.with_force,
                 force_lr_factor=cfg.force_lr_factor,
                 betas=anneal_betas(cfg, era),
-                grad_clip=cfg.grad_clip)
+                grad_clip=cfg.grad_clip,
+                force_weight=cfg.force_weight)
         host = {k: np.asarray(v) for k, v in stacked.items()}
         dt = time.time() - t0
         for e in range(cfg.n_epoch):

@@ -175,3 +175,46 @@ def test_scheduler_cooldown_device():
     assert len(fires) >= 1
     if len(fires) > 1:
         assert fires[1] - fires[0] >= sched.cooldown
+
+
+def test_force_weight_joint_objective(spec2):
+    """The smoothness-regularized JOINT objective (round-3): loss =
+    dkl_factor*D_KL + force_weight*mean(F_eff^2) on the same prior batch.
+    Checks (a) the decomposition is exact, (b) the step runs and reports
+    force_sq, (c) a short regularized run drives force_sq down relative
+    to an unregularized run from the same seed."""
+    from fthmc_tpu.train import reverse_kl_loss
+    cfg = _cfg(spec2)
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    key = jax.random.PRNGKey(4)
+    w = 0.5
+    loss0, aux0 = reverse_kl_loss(state.params, spec2, key, 8, cfg.L,
+                                  cfg.beta)
+    loss1, aux1 = reverse_kl_loss(state.params, spec2, key, 8, cfg.L,
+                                  cfg.beta, force_weight=w)
+    assert np.isclose(float(loss1),
+                      float(loss0) + w * float(aux1["force_sq"]),
+                      rtol=1e-5)
+
+    state, metrics = train_step(state, spec2, cfg.batch_size, cfg.L,
+                                cfg.beta, 1.0, cfg.base_lr, force_weight=w)
+    assert np.isfinite(float(metrics["force_sq"]))
+    assert np.isfinite(float(metrics["loss_dkl"]))
+
+
+def test_force_weight_training_smooths(spec2):
+    """With a LARGE force_weight, a short run must reduce mean(F_eff^2)
+    below the pure-KL run's endpoint (same seed/config otherwise)."""
+    from fthmc_tpu.hmc import ft_force
+    from fthmc_tpu.models.priors import uniform_link_prior
+
+    def endpoint_fsq(force_weight):
+        cfg = TrainConfig(L=8, beta=2.0, n_era=1, n_epoch=40, batch_size=16,
+                          base_lr=3e-3, flow=spec2, seed=5,
+                          force_weight=force_weight)
+        state, _ = train(cfg)
+        z = uniform_link_prior(8).sample_n(jax.random.PRNGKey(9), 16)
+        f = ft_force(state.params, spec2, z, 2.0)
+        return float(jnp.mean(f * f))
+
+    assert endpoint_fsq(5.0) < endpoint_fsq(0.0)
