@@ -55,6 +55,12 @@ def main():
                         "blocks use 6x their own measured wall)")
     p.add_argument("--no-eo", action="store_true",
                    help="disable even-odd preconditioning")
+    p.add_argument("--hasenbusch-dm", type=float, default=0.0,
+                   help="Hasenbusch split at m1 = mass + dm (plain only; "
+                        "3-level nested Omelyan, requires --n-inner >= 1)")
+    p.add_argument("--n-mid", type=int, default=1,
+                   help="heavy-term steps per outer drift (Hasenbusch)")
+    p.add_argument("--cg-maxiter", type=int, default=1000)
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -62,7 +68,9 @@ def main():
                           tau=args.tau, nstep=args.nstep,
                           n_chains=args.chains, ntraj=args.ntraj,
                           integrator=args.integrator,
-                          eo_precond=not args.no_eo, n_inner=args.n_inner)
+                          eo_precond=not args.no_eo, n_inner=args.n_inner,
+                          hasenbusch_dm=args.hasenbusch_dm,
+                          n_mid=args.n_mid, cg_maxiter=args.cg_maxiter)
     ft = args.ckpt is not None
     if ft:
         state_f, meta, spec, _ = load_checkpoint_auto(args.ckpt)
