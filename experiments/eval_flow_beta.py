@@ -71,17 +71,25 @@ def main():
     args = p.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
-    spec = FlowSpec(n_layers=args.n_layers, coupling=args.coupling,
-                    n_mixture=args.n_mixture, n_knots=args.n_knots,
-                    hidden_sizes=tuple(args.hidden),
-                    activation=args.activation, s_clip=args.s_clip)
-    # template state at the TRAINING lattice size is not needed: params are
-    # L-independent, restore against an L=8 template.
-    state = init_train_state(jax.random.PRNGKey(0),
-                             TrainConfig(L=8, beta=args.beta, flow=spec,
-                                         grad_clip=args.grad_clip))
-    state, meta = load_checkpoint(args.ckpt, state)
-    print(f"loaded {args.ckpt} meta={meta}", flush=True)
+    # self-describing checkpoints carry their own FlowSpec; the
+    # architecture flags are only a fallback for legacy dirs
+    from fthmc_tpu.checkpoint import load_checkpoint_auto
+    found = load_checkpoint_auto(args.ckpt)
+    if found is not None:
+        state, meta, spec, _ = found
+        print(f"loaded {args.ckpt} spec={spec}", flush=True)
+    else:
+        spec = FlowSpec(n_layers=args.n_layers, coupling=args.coupling,
+                        n_mixture=args.n_mixture, n_knots=args.n_knots,
+                        hidden_sizes=tuple(args.hidden),
+                        activation=args.activation, s_clip=args.s_clip)
+        # template state at the TRAINING lattice size is not needed: params
+        # are L-independent, restore against an L=8 template.
+        state = init_train_state(jax.random.PRNGKey(0),
+                                 TrainConfig(L=8, beta=args.beta, flow=spec,
+                                             grad_clip=args.grad_clip))
+        state, meta = load_checkpoint(args.ckpt, state)
+        print(f"loaded {args.ckpt} meta={meta}", flush=True)
 
     key = jax.random.PRNGKey(args.seed)
     z0 = lattice.hot_start(key, args.eval_chains, args.L)
