@@ -60,7 +60,7 @@ def main():
     p.add_argument("--ntraj", type=int, default=192)
     p.add_argument("--block", type=int, default=48)
     p.add_argument("--ckpt", default="artifacts/flow8x8_b3_rncp24")
-    p.add_argument("--plain-nsteps", type=int, nargs="+",
+    p.add_argument("--plain-nsteps", type=int, nargs="*",
                    default=[8, 16, 24])
     p.add_argument("--ft-nsteps", type=int, nargs="+",
                    default=[8, 12, 16, 24])
