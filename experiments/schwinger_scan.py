@@ -13,6 +13,7 @@ Measures, on the real chip:
 Usage: python experiments/schwinger_scan.py --beta 5 --mass 0.1
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -34,10 +35,16 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def measure(run, ntraj, block):
-    """Run therm block, then timed blocks chained through state."""
+def measure(run, ntraj, block, warmup=0):
+    """Optionally run ``warmup`` trajectories first (compile + local
+    thermalization, excluded from timing), then time ``ntraj`` more,
+    chained through the warmed state."""
+    x0 = None
+    if warmup:
+        x0, _ = run(warmup, block, None)
+        _sync(x0)
     t0 = time.time()
-    x, h = run(ntraj, block)
+    x, h = run(ntraj, block, x0)
     _sync(x)
     wall = time.time() - t0
     acc = float(np.asarray(h.acc)[ntraj // 4:].mean())
@@ -49,6 +56,16 @@ def measure(run, ntraj, block):
     return {"acc": acc, "exp_mdh": e, "plaq": p, "q_mobility": mob,
             "wall_s": wall, "s_per_traj": wall / ntraj,
             "mob_per_s": mob * ntraj / wall}
+
+
+def load_state_z(path, chains):
+    """Thermalized start from a production run_state.npz (first ``chains``
+    chains; tiles if the saved batch is smaller)."""
+    z = np.load(path)["z"]
+    if z.shape[0] < chains:
+        reps = -(-chains // z.shape[0])
+        z = np.tile(z, (reps, 1, 1, 1))
+    return jnp.asarray(z[:chains])
 
 
 def main():
@@ -65,6 +82,12 @@ def main():
     p.add_argument("--ft-nsteps", type=int, nargs="+",
                    default=[8, 12, 16, 24])
     p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--plain-state", default=None,
+                   help="run_state.npz for a thermalized plain start")
+    p.add_argument("--ft-state", default=None,
+                   help="run_state.npz for a thermalized FT (latent) start")
+    p.add_argument("--warmup-traj", type=int, default=0,
+                   help="untimed trajectories per row (compile + re-therm)")
     p.add_argument("--out", default="runs/schwinger_scan")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -75,13 +98,22 @@ def main():
 
     results = {"args": vars(args), "plain": [], "ft": []}
 
+    z_plain = (load_state_z(args.plain_state, args.chains)
+               if args.plain_state else None)
+    z_ft = (load_state_z(args.ft_state, args.chains)
+            if args.ft_state else None)
+
     for nstep in args.plain_nsteps:
         cfg = SchwingerConfig(L=args.L, beta=args.beta, mass=args.mass,
                               tau=args.tau, nstep=nstep,
                               n_chains=args.chains, ntraj=args.ntraj)
         key = jax.random.PRNGKey(100 + nstep)
-        r = measure(lambda n, b, cfg=cfg, key=key: run_hmc_dyn_chunked(
-            cfg, block=b, key=key), args.ntraj, args.block)
+
+        def run(n, b, x0, cfg=cfg, key=key):
+            c = dataclasses.replace(cfg, ntraj=n)
+            return run_hmc_dyn_chunked(
+                c, block=b, key=key, x0=z_plain if x0 is None else x0)
+        r = measure(run, args.ntraj, args.block, args.warmup_traj)
         r["nstep"] = nstep
         results["plain"].append(r)
         print(f"plain nstep={nstep}: {json.dumps(r)}", flush=True)
@@ -93,8 +125,13 @@ def main():
                               tau=args.tau, nstep=nstep,
                               n_chains=args.chains, ntraj=args.ntraj)
         key = jax.random.PRNGKey(200 + nstep)
-        r = measure(lambda n, b, cfg=cfg, key=key: run_fthmc_dyn_chunked(
-            params, spec, cfg, block=b, key=key), args.ntraj, args.block)
+
+        def run(n, b, z0, cfg=cfg, key=key):
+            c = dataclasses.replace(cfg, ntraj=n)
+            return run_fthmc_dyn_chunked(
+                params, spec, c, block=b, key=key,
+                z0=z_ft if z0 is None else z0)
+        r = measure(run, args.ntraj, args.block, args.warmup_traj)
         r["nstep"] = nstep
         results["ft"].append(r)
         print(f"FT    nstep={nstep}: {json.dumps(r)}", flush=True)

@@ -446,6 +446,10 @@ def run_hmc_dyn_chunked(cfg: SchwingerConfig, *, block: int = 256,
         x0 = lattice.hot_start(jax.random.fold_in(key, 7), cfg.n_chains,
                                cfg.L)
     x, out, left = x0, [], cfg.ntraj
+    # the compiled scans never read cfg.ntraj (the block length n is an
+    # explicit static arg); normalize it so runs with different totals
+    # share one compile cache entry per block size
+    cfg = dataclasses.replace(cfg, ntraj=0)
     while left > 0:
         n = min(block, left)
         key, krun = jax.random.split(key)
@@ -619,6 +623,8 @@ def run_fthmc_dyn_chunked(params, spec: FlowSpec, cfg: SchwingerConfig, *,
         z0 = lattice.hot_start(jax.random.fold_in(key, 7), cfg.n_chains,
                                cfg.L)
     z, out, left = z0, [], cfg.ntraj
+    # see run_hmc_dyn_chunked: cfg.ntraj is dead inside the compiled scan
+    cfg = dataclasses.replace(cfg, ntraj=0)
     while left > 0:
         n = min(block, left)
         key, krun = jax.random.split(key)
