@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fthmc_tpu import lattice
+from fthmc_tpu import fermion, lattice
 from fthmc_tpu.checkpoint import load_checkpoint_auto
 from fthmc_tpu.schwinger import (SchwingerConfig, run_hmc_dyn_chunked,
                                  run_fthmc_dyn_chunked)
@@ -89,8 +89,12 @@ def main():
     p.add_argument("--warmup-traj", type=int, default=0,
                    help="untimed trajectories per row (compile + re-therm)")
     p.add_argument("--out", default="runs/schwinger_scan")
+    p.add_argument("--cg-backend", choices=["xla", "fused"],
+                   default="xla",
+                   help="fermion CG operator backend (fused = Pallas VMEM\n                   kernel, ops/pallas_fermion.py)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    fermion.set_cg_backend(args.cg_backend)
 
     state, meta, spec, _ = load_checkpoint_auto(args.ckpt)
     params = state.params

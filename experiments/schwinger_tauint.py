@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fthmc_tpu import lattice
+from fthmc_tpu import fermion, lattice
 from fthmc_tpu.checkpoint import load_checkpoint_auto
 from fthmc_tpu.observables import chain_stats
 from fthmc_tpu.schwinger import (SchwingerConfig, _run_fthmc_dyn_scan,
@@ -61,8 +61,12 @@ def main():
     p.add_argument("--n-mid", type=int, default=1,
                    help="heavy-term steps per outer drift (Hasenbusch)")
     p.add_argument("--cg-maxiter", type=int, default=1000)
+    p.add_argument("--cg-backend", choices=["xla", "fused"],
+                   default="xla",
+                   help="fermion CG operator backend (fused = Pallas VMEM\n                   kernel, ops/pallas_fermion.py)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    fermion.set_cg_backend(args.cg_backend)
 
     cfg = SchwingerConfig(L=args.L, beta=args.beta, mass=args.mass,
                           tau=args.tau, nstep=args.nstep,

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from fthmc_tpu import lattice
 
 __all__ = [
-    "dirac", "dirac_dag", "apply_mdagm", "cg_solve", "pf_refresh",
+    "dirac", "dirac_dag", "apply_mdagm", "cg_solve", "set_cg_backend",
+    "pf_refresh",
     "pf_action_exact", "pf_action_lin", "pf_force", "CGResult",
     "chiral_condensate", "pion_correlator",
     "parity_mask", "dirac_hat", "dirac_hat_dag", "apply_mdagm_eo",
@@ -131,18 +132,51 @@ class CGResult(NamedTuple):
     rsq: jnp.ndarray      # per-chain final |r|^2 / |b|^2
 
 
-@partial(jax.jit, static_argnames=("mass", "tol", "maxiter", "eo"))
+_CG_BACKEND = "xla"
+
+
+def set_cg_backend(name: str) -> None:
+    """Process-wide default CG backend: "xla" (roll-stencil operator) or
+    "fused" (Pallas VMEM-resident operator, ops/pallas_fermion.py — wins
+    where the XLA path is bandwidth-bound on materialized roll
+    intermediates, i.e. larger lattices; auto-falls back to xla outside
+    `fused_cg_supported`). Resolved at TRACE time — set it before building
+    jitted drivers."""
+    global _CG_BACKEND
+    if name not in ("xla", "fused"):
+        raise ValueError(name)
+    _CG_BACKEND = name
+
+
 def cg_solve(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
              x0: jnp.ndarray | None = None, *, tol: float = 1e-8,
-             maxiter: int = 1000, eo: bool = False) -> CGResult:
+             maxiter: int = 1000, eo: bool = False,
+             backend: str | None = None) -> CGResult:
     """Batched conjugate gradient for (D^dag D) x = b (or, with eo=True,
     the even-odd Schur system (Dhat^dag Dhat) x = b on even-masked b).
 
     One while_loop drives ALL chains; converged chains freeze (their alpha
     and beta are masked to zero) so late chains don't destabilize early
     ones. ``tol`` is on |r|^2 / |b|^2 (i.e. tol=1e-8 means relative
-    residual 1e-4).
-    """
+    residual 1e-4). ``backend`` overrides the process default
+    (set_cg_backend)."""
+    backend = backend or _CG_BACKEND
+    if backend == "fused":
+        from fthmc_tpu.ops.pallas_fermion import (cg_solve_fused,
+                                                  fused_cg_supported)
+        L0, L1 = theta.shape[-2], theta.shape[-1]
+        if fused_cg_supported(L0, L1):
+            return cg_solve_fused(theta, b, mass, x0, tol=tol,
+                                  maxiter=maxiter, eo=eo)
+    return _cg_solve_xla(theta, b, mass, x0, tol=tol, maxiter=maxiter,
+                         eo=eo)
+
+
+@partial(jax.jit, static_argnames=("mass", "tol", "maxiter", "eo"))
+def _cg_solve_xla(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
+                  x0: jnp.ndarray | None = None, *, tol: float = 1e-8,
+                  maxiter: int = 1000, eo: bool = False) -> CGResult:
+    """The XLA roll-stencil CG (see cg_solve)."""
     op = apply_mdagm_eo if eo else apply_mdagm
     bsq = jnp.real(_cdot(b, b))
     stop = tol * bsq

@@ -1,0 +1,121 @@
+"""Fused fermion-kernel equivalence tests (interpret mode on CPU).
+
+The Pallas kernel must reproduce fthmc_tpu.fermion's XLA roll-stencil
+operators exactly (same conventions; fermion.py has no reference
+counterpart — dynamical fermions are beyond nftqcd/fthmc)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fthmc_tpu import fermion
+from fthmc_tpu.ops import pallas_fermion as pf
+
+L, B, MASS = 8, 4, 0.3
+
+
+def _fields(key, batch=True):
+    k1, k2, k3 = jax.random.split(key, 3)
+    lead = (B,) if batch else ()
+    theta = jax.random.uniform(k1, lead + (2, L, L), minval=-np.pi,
+                               maxval=np.pi)
+    psi = (jax.random.normal(k2, lead + (L, L, 2)) +
+           1j * jax.random.normal(k3, lead + (L, L, 2))).astype(jnp.complex64)
+    return theta, psi
+
+
+def test_pack_roundtrip():
+    _, psi = _fields(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(pf.unpack_spinor(pf.pack_spinor(psi))), np.asarray(psi))
+
+
+def test_link_planes_match():
+    theta, _ = _fields(jax.random.PRNGKey(1))
+    u0, u1 = fermion._links(theta)
+    ur, ui = pf.link_planes(theta)
+    np.testing.assert_allclose(np.asarray(ur[:, 0]), np.real(u0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ui[:, 0]), np.imag(u0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ur[:, 1]), np.real(u1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ui[:, 1]), np.imag(u1), atol=1e-6)
+
+
+@pytest.mark.parametrize("eo", [False, True])
+def test_mdagm_matches_xla(eo):
+    theta, psi = _fields(jax.random.PRNGKey(2))
+    if eo:
+        psi = psi * fermion.parity_mask(psi.shape, 0)
+        want = fermion.apply_mdagm_eo(theta, psi, MASS)
+    else:
+        want = fermion.apply_mdagm(theta, psi, MASS)
+    got = pf.pallas_mdagm(theta, psi, MASS, eo=eo, block=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mdagm_unbatched():
+    theta, psi = _fields(jax.random.PRNGKey(3), batch=False)
+    psi = psi * fermion.parity_mask(psi.shape, 0)
+    want = fermion.apply_mdagm_eo(theta, psi, MASS)
+    got = pf.pallas_mdagm(theta, psi, MASS, eo=True, interpret=True)
+    assert got.shape == psi.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("eo", [False, True])
+def test_cg_solve_fused_matches(eo):
+    """Fused CG solves the same system to the same tolerance, and its
+    solution agrees with the XLA CG to solver precision."""
+    key = jax.random.PRNGKey(4)
+    theta, _ = _fields(key)
+    kphi = jax.random.PRNGKey(5)
+    phi, _ = fermion.pf_refresh(kphi, theta, MASS, eo=eo)
+    ref = fermion.cg_solve(theta, phi, MASS, tol=1e-12, maxiter=500, eo=eo)
+    got = pf.cg_solve_fused(theta, phi, MASS, tol=1e-12, maxiter=500,
+                            eo=eo, block=2, interpret=True)
+    assert np.all(np.asarray(got.rsq) < 1e-11)
+    # residual check against the TRUE operator
+    op = fermion.apply_mdagm_eo if eo else fermion.apply_mdagm
+    resid = phi - op(theta, got.x, MASS)
+    rel = np.linalg.norm(np.asarray(resid).ravel()) / np.linalg.norm(
+        np.asarray(phi).ravel())
+    assert rel < 1e-5
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_cg_solve_fused_warm_start():
+    theta, _ = _fields(jax.random.PRNGKey(6))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(7), theta, MASS, eo=True)
+    cold = pf.cg_solve_fused(theta, phi, MASS, tol=1e-10, maxiter=500,
+                             eo=True, block=2, interpret=True)
+    warm = pf.cg_solve_fused(theta, phi, MASS, cold.x, tol=1e-10,
+                             maxiter=500, eo=True, block=2, interpret=True)
+    assert int(warm.iters) <= 2
+
+
+def test_block_helper():
+    assert pf.default_fermion_block(64, 64) >= 8
+    assert pf.default_fermion_block(128, 64) >= 2
+    assert pf.fused_cg_supported(64, 64)
+    assert not pf.fused_cg_supported(16, 16)
+    assert not pf.fused_cg_supported(63, 64)
+
+
+def test_backend_wiring_fallback():
+    """cg_solve(backend='fused') falls back to XLA outside the supported
+    envelope (small lattices) and set_cg_backend validates names."""
+    theta, psi = _fields(jax.random.PRNGKey(8))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(9), theta, MASS, eo=True)
+    # L=8 < 32 -> unsupported -> must silently use the XLA path
+    got = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
+                           eo=True, backend="fused")
+    ref = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
+                           eo=True, backend="xla")
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x))
+    with pytest.raises(ValueError):
+        fermion.set_cg_backend("nope")
+    fermion.set_cg_backend("fused")
+    assert fermion._CG_BACKEND == "fused"
+    fermion.set_cg_backend("xla")
