@@ -70,37 +70,7 @@ def dirac(theta: jnp.ndarray, psi: jnp.ndarray, mass: float) -> jnp.ndarray:
     theta: (..., 2, L0, L1) real; psi: (..., L0, L1, 2) complex.
     Batched shapes broadcast (leading axes must match).
     """
-    u0, u1 = _links(theta)
-    u0 = u0[..., None]          # (..., L0, L1, 1) broadcast over spinor
-    u1 = u1[..., None]
-
-    # forward hops: U_mu(x) psi(x + mu)
-    fwd0 = u0 * jnp.roll(psi, -1, axis=-3)
-    fwd1 = u1 * jnp.roll(psi, -1, axis=-2)
-    # backward hops: U_mu(x - mu)^* psi(x - mu)
-    bwd0 = jnp.roll(jnp.conj(u0) * psi, 1, axis=-3)
-    bwd1 = jnp.roll(jnp.conj(u1) * psi, 1, axis=-2)
-
-    # spinor projectors, gamma_0 = sigma_x: (1 -+ gamma_0) psi
-    def p0m(s):  # (1 - gamma_0) s = (s0 - s1, s1 - s0)
-        return jnp.stack((s[..., 0] - s[..., 1], s[..., 1] - s[..., 0]),
-                         axis=-1)
-
-    def p0p(s):  # (1 + gamma_0) s
-        return jnp.stack((s[..., 0] + s[..., 1], s[..., 1] + s[..., 0]),
-                         axis=-1)
-
-    # gamma_1 = sigma_y: (1 - gamma_1) s = (s0 + i s1, s1 - i s0)
-    def p1m(s):
-        return jnp.stack((s[..., 0] + 1j * s[..., 1],
-                          s[..., 1] - 1j * s[..., 0]), axis=-1)
-
-    def p1p(s):
-        return jnp.stack((s[..., 0] - 1j * s[..., 1],
-                          s[..., 1] + 1j * s[..., 0]), axis=-1)
-
-    hop = p0m(fwd0) + p0p(bwd0) + p1m(fwd1) + p1p(bwd1)
-    return (mass + 2.0) * psi - 0.5 * hop
+    return (mass + 2.0) * psi - 0.5 * _hop(theta, psi)
 
 
 def _g5(psi: jnp.ndarray) -> jnp.ndarray:
@@ -463,24 +433,24 @@ def parity_mask(shape, parity: int = 0) -> jnp.ndarray:
 
 def _hop(theta: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
     """The Wilson hop sum H psi (so D = (m+2) psi - H psi / 2). Connects
-    even <-> odd sites only."""
+    even <-> odd sites only.
+
+    Half-spinor (spin-projected) transport: in 2D every (1 -+ gamma_mu) is
+    RANK ONE, so each direction moves a single complex plane instead of the
+    full 2-spinor — p0m psi = (d, -d) with d = s0 - s1, p0p = (e, e),
+    p1m = (w, -i w) with w = s0 + i s1, p1p = (v, i v) — halving the roll
+    (HBM) traffic of this bandwidth-bound stencil. Same structure as the
+    fused Pallas kernel (ops/pallas_fermion._hop_planes); exactness vs the
+    textbook projector form is fp32-round-off (tests + A/B)."""
     u0, u1 = _links(theta)
-    u0, u1 = u0[..., None], u1[..., None]
-    fwd0 = u0 * jnp.roll(psi, -1, axis=-3)
-    fwd1 = u1 * jnp.roll(psi, -1, axis=-2)
-    bwd0 = jnp.roll(jnp.conj(u0) * psi, 1, axis=-3)
-    bwd1 = jnp.roll(jnp.conj(u1) * psi, 1, axis=-2)
-
-    def stk(a, b):
-        return jnp.stack((a, b), axis=-1)
-
-    p0m = stk(fwd0[..., 0] - fwd0[..., 1], fwd0[..., 1] - fwd0[..., 0])
-    p0p = stk(bwd0[..., 0] + bwd0[..., 1], bwd0[..., 1] + bwd0[..., 0])
-    p1m = stk(fwd1[..., 0] + 1j * fwd1[..., 1],
-              fwd1[..., 1] - 1j * fwd1[..., 0])
-    p1p = stk(bwd1[..., 0] - 1j * bwd1[..., 1],
-              bwd1[..., 1] + 1j * bwd1[..., 0])
-    return p0m + p0p + p1m + p1p
+    s0, s1 = psi[..., 0], psi[..., 1]
+    d = u0 * jnp.roll(s0 - s1, -1, axis=-2)
+    e = jnp.roll(jnp.conj(u0) * (s0 + s1), 1, axis=-2)
+    w = u1 * jnp.roll(s0 + 1j * s1, -1, axis=-1)
+    v = jnp.roll(jnp.conj(u1) * (s0 - 1j * s1), 1, axis=-1)
+    h0 = d + e + w + v
+    h1 = -d + e - 1j * w + 1j * v
+    return jnp.stack((h0, h1), axis=-1)
 
 
 def dirac_hat(theta: jnp.ndarray, psi_e: jnp.ndarray,
