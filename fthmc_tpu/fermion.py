@@ -106,14 +106,16 @@ _CG_BACKEND = "xla"
 
 
 def set_cg_backend(name: str) -> None:
-    """Process-wide default CG backend: "xla" (roll-stencil operator) or
+    """Process-wide default CG backend: "xla" (roll-stencil operator),
     "fused" (Pallas VMEM-resident operator, ops/pallas_fermion.py — wins
     where the XLA path is bandwidth-bound on materialized roll
     intermediates, i.e. larger lattices; auto-falls back to xla outside
-    `fused_cg_supported`). Resolved at TRACE time — set it before building
-    jitted drivers."""
+    `fused_cg_supported`), or "mixed" (bf16-transport inner CG + f32
+    iterative refinement, _cg_solve_mixed — halves the stencil's HBM
+    traffic where the XLA path is bandwidth-bound). Resolved at TRACE
+    time — set it before building jitted drivers."""
     global _CG_BACKEND
-    if name not in ("xla", "fused"):
+    if name not in ("xla", "fused", "mixed"):
         raise ValueError(name)
     _CG_BACKEND = name
 
@@ -138,6 +140,9 @@ def cg_solve(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
         if fused_cg_supported(L0, L1):
             return cg_solve_fused(theta, b, mass, x0, tol=tol,
                                   maxiter=maxiter, eo=eo)
+    if backend == "mixed":
+        return _cg_solve_mixed(theta, b, mass, x0, tol=tol,
+                               maxiter=maxiter, eo=eo)
     return _cg_solve_xla(theta, b, mass, x0, tol=tol, maxiter=maxiter,
                          eo=eo)
 
@@ -177,6 +182,144 @@ def _cg_solve_xla(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
 
     x, r, p, rsq, k = jax.lax.while_loop(cond, body, (x, r, p, rsq, 0))
     return CGResult(x, k, rsq / jnp.maximum(bsq, 1e-30))
+
+
+def _plane_mdagm(ur, ui, p4, mass, eo):
+    """Normal operator (D^dag D, or the even-odd Schur Mhat) on packed real
+    planes (B, 4, L0, L1), XLA rolls. Exactly the fused Pallas kernel's
+    math via the single-source stencil ops/pallas_fermion._hop_planes
+    (roll=jnp.roll). Runs in whatever dtype the planes/links carry —
+    bfloat16 for the mixed-precision CG below (python-float scalars stay
+    weakly typed, so nothing silently promotes to f32)."""
+    from fthmc_tpu.ops.pallas_fermion import _hop_planes
+    ur0, ur1 = ur[:, 0], ur[:, 1]
+    ui0, ui1 = ui[:, 0], ui[:, 1]
+    a = mass + 2.0
+    L0, L1 = p4.shape[-2], p4.shape[-1]
+
+    def hop(s):
+        return _hop_planes(ur0, ui0, ur1, ui1, *s, roll=jnp.roll)
+
+    if eo:
+        par = (jnp.arange(L0)[:, None] + jnp.arange(L1)[None, :]) % 2
+        even = (par == 0).astype(p4.dtype)[None]
+        odd = (par == 1).astype(p4.dtype)[None]
+        bc = 0.25 / a
+
+        def dhat(s):
+            h = hop(s)
+            h = hop(tuple(odd * c for c in h))
+            return tuple(a * si - bc * even * hi for si, hi in zip(s, h))
+    else:
+        def dhat(s):
+            h = hop(s)
+            return tuple(a * si - 0.5 * hi for si, hi in zip(s, h))
+
+    def dhat_dag(s):
+        r = dhat((s[0], s[1], -s[2], -s[3]))
+        return (r[0], r[1], -r[2], -r[3])
+
+    m = dhat_dag(dhat((p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3])))
+    return jnp.stack(m, axis=1)
+
+
+# bf16 stagnates near relative residual ~1e-2..1e-3; each refinement cycle
+# targets an rsq (squared-residual) reduction of 1e-4 within <= 48 sweeps.
+_MIXED_INNER_TOL = 1e-4
+_MIXED_INNER_MAX = 48
+
+
+@partial(jax.jit, static_argnames=("mass", "tol", "maxiter", "eo"))
+def _cg_solve_mixed(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
+                    x0: jnp.ndarray | None = None, *, tol: float = 1e-8,
+                    maxiter: int = 1000, eo: bool = False) -> CGResult:
+    """Mixed-precision CG: bf16-transport inner CG + f32 iterative
+    refinement (defect correction).
+
+    The Wilson hop is bandwidth-bound on its materialized roll
+    intermediates (BENCH.md round-3 "CG cost structure"); running the
+    Krylov sweeps with bf16 links AND bf16 vectors halves that HBM
+    traffic. bf16 alone stagnates near relative residual ~1e-2..1e-3, so
+    an outer f32 loop re-forms the TRUE residual r = b - A x in f32,
+    re-solves A d = r in bf16, and accumulates x += d in f32 — classic
+    iterative refinement, restoring full fp32 accuracy (HMC exactness
+    never rested on the force solves, but this keeps even the
+    Metropolis-accept solve usable). Same semantics/returns as
+    _cg_solve_xla; `iters` counts total operator applications."""
+    from fthmc_tpu.ops.pallas_fermion import (link_planes, pack_spinor,
+                                              unpack_spinor)
+    squeeze = b.ndim == 3
+    if squeeze:
+        theta, b = theta[None], b[None]
+        x0 = None if x0 is None else x0[None]
+    ur, ui = link_planes(theta)
+    ur16, ui16 = ur.astype(jnp.bfloat16), ui.astype(jnp.bfloat16)
+    b4 = pack_spinor(b)
+
+    def dot(u, v):
+        # f32 accumulation regardless of plane dtype
+        return jnp.sum(u * v, axis=(1, 2, 3), dtype=jnp.float32)
+
+    bsq = dot(b4, b4)
+    stop = tol * bsq
+    x = jnp.zeros_like(b4) if x0 is None else pack_spinor(x0)
+    r = b4 - _plane_mdagm(ur, ui, x, mass, eo)
+    rsq = dot(r, r)
+
+    def inner(r32):
+        """bf16 CG for A d = r32; returns (d in bf16, sweeps used)."""
+        rr = r32.astype(jnp.bfloat16)
+        d = jnp.zeros_like(rr)
+        p = rr
+        irsq = dot(rr, rr)
+        istop = _MIXED_INNER_TOL * irsq
+
+        def cond(c):
+            d, rr, p, irsq, k = c
+            return jnp.logical_and(jnp.any(irsq > istop),
+                                   k < _MIXED_INNER_MAX)
+
+        def body(c):
+            d, rr, p, irsq, k = c
+            active = irsq > istop
+            mp = _plane_mdagm(ur16, ui16, p, mass, eo)
+            denom = dot(p, mp)
+            alpha = jnp.where(active, irsq / jnp.maximum(denom, 1e-30), 0.0)
+            al = alpha[:, None, None, None].astype(jnp.bfloat16)
+            d = d + al * p
+            rr = rr - al * mp
+            irsq_new = dot(rr, rr)
+            beta = jnp.where(active, irsq_new / jnp.maximum(irsq, 1e-30),
+                             0.0)
+            p = rr + beta[:, None, None, None].astype(jnp.bfloat16) * p
+            irsq = jnp.where(active, irsq_new, irsq)
+            return (d, rr, p, irsq, k + 1)
+
+        d, rr, p, irsq, k = jax.lax.while_loop(
+            cond, body, (d, rr, p, irsq, 0))
+        return d, k
+
+    def outer_cond(carry):
+        x, r, rsq, k = carry
+        return jnp.logical_and(jnp.any(rsq > stop), k < maxiter)
+
+    def outer_body(carry):
+        x, r, rsq, k = carry
+        active = (rsq > stop).astype(jnp.float32)[:, None, None, None]
+        d, ki = inner(r)
+        x = x + active * d.astype(jnp.float32)
+        r = b4 - _plane_mdagm(ur, ui, x, mass, eo)  # true f32 residual
+        rsq_new = dot(r, r)
+        rsq = jnp.where(rsq > stop, rsq_new, rsq)
+        return (x, r, rsq, k + ki + 1)
+
+    x, r, rsq, k = jax.lax.while_loop(outer_cond, outer_body,
+                                      (x, r, rsq, 0))
+    sol = unpack_spinor(x)
+    rel = rsq / jnp.maximum(bsq, 1e-30)
+    if squeeze:
+        sol, rel = sol[0], rel[0]
+    return CGResult(sol, k, rel)
 
 
 @partial(jax.jit, static_argnames=("mass", "eo"))

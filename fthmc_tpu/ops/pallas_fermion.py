@@ -81,12 +81,17 @@ def link_planes(theta: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _hop_planes(ur0, ui0, ur1, ui1, s0r, s0i, s1r, s1i):
+def _hop_planes(ur0, ui0, ur1, ui1, s0r, s0i, s1r, s1i, roll=None):
     """Wilson hop H psi on packed planes (each (TB, L0, L1)); returns the
     four result planes. Per direction: one complex combine + one complex
     multiply + one two-plane roll (the projector structure p0m=(d,-d),
     p0p=(e,e), p1m=(w,-iw), p1p=(v,iv) lets each direction touch a single
-    complex field)."""
+    complex field).
+
+    ``roll(x, shift, axis)`` defaults to the in-kernel pltpu roll; the
+    XLA-side mixed-precision CG (fermion._plane_mdagm) reuses this exact
+    stencil with jnp.roll, so the math has a single source."""
+    _roll = roll or globals()["_roll"]
     # forward 0: u0 * roll(psi,-1,x0), projector (1 - g0): (d, -d), d = t0-t1
     t0r, t0i = _roll(s0r, -1, 1), _roll(s0i, -1, 1)
     t1r, t1i = _roll(s1r, -1, 1), _roll(s1i, -1, 1)

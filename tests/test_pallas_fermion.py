@@ -119,3 +119,72 @@ def test_backend_wiring_fallback():
     fermion.set_cg_backend("fused")
     assert fermion._CG_BACKEND == "fused"
     fermion.set_cg_backend("xla")
+
+
+# ---------------------------------------------------------------------------
+# mixed-precision CG (fermion._cg_solve_mixed: bf16 inner + f32 refinement,
+# sharing the _hop_planes stencil with the kernel via roll=jnp.roll)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("eo", [False, True])
+def test_plane_mdagm_matches_xla(eo):
+    """The XLA-roll plane operator (f32) is exactly the complex operator."""
+    theta, psi = _fields(jax.random.PRNGKey(10))
+    if eo:
+        psi = psi * fermion.parity_mask(psi.shape, 0)
+        want = fermion.apply_mdagm_eo(theta, psi, MASS)
+    else:
+        want = fermion.apply_mdagm(theta, psi, MASS)
+    ur, ui = pf.link_planes(theta)
+    got = pf.unpack_spinor(
+        fermion._plane_mdagm(ur, ui, pf.pack_spinor(psi), MASS, eo))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("eo", [False, True])
+def test_cg_solve_mixed_matches(eo):
+    """Iterative refinement reaches full f32 tolerance despite the bf16
+    transport, and the solution agrees with the f32 CG."""
+    theta, _ = _fields(jax.random.PRNGKey(11))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(12), theta, MASS, eo=eo)
+    ref = fermion.cg_solve(theta, phi, MASS, tol=1e-12, maxiter=500, eo=eo)
+    got = fermion._cg_solve_mixed(theta, phi, MASS, tol=1e-12, maxiter=2000,
+                                  eo=eo)
+    assert np.all(np.asarray(got.rsq) < 1e-11)
+    op = fermion.apply_mdagm_eo if eo else fermion.apply_mdagm
+    resid = phi - op(theta, got.x, MASS)
+    rel = np.linalg.norm(np.asarray(resid).ravel()) / np.linalg.norm(
+        np.asarray(phi).ravel())
+    assert rel < 1e-5
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_cg_solve_mixed_warm_start_and_unbatched():
+    theta, _ = _fields(jax.random.PRNGKey(13))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(14), theta, MASS, eo=True)
+    cold = fermion._cg_solve_mixed(theta, phi, MASS, tol=1e-10, maxiter=2000,
+                                   eo=True)
+    warm = fermion._cg_solve_mixed(theta, phi, MASS, cold.x, tol=1e-10,
+                                   maxiter=2000, eo=True)
+    assert int(warm.iters) <= int(cold.iters) // 4
+    # unbatched shapes round-trip
+    th1, _ = _fields(jax.random.PRNGKey(15), batch=False)
+    phi1, _ = fermion.pf_refresh(jax.random.PRNGKey(16), th1, MASS, eo=True)
+    one = fermion._cg_solve_mixed(th1, phi1, MASS, tol=1e-10, maxiter=2000,
+                                  eo=True)
+    assert one.x.shape == phi1.shape
+    assert float(one.rsq) < 1e-9
+
+
+def test_backend_wiring_mixed():
+    theta, _ = _fields(jax.random.PRNGKey(17))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(18), theta, MASS, eo=True)
+    got = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=2000,
+                           eo=True, backend="mixed")
+    ref = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
+                           eo=True, backend="xla")
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-4, rtol=1e-3)
