@@ -64,6 +64,9 @@ def main():
     p.add_argument("--chains", type=int, default=64)
     p.add_argument("--ntraj", type=int, default=192)
     p.add_argument("--cg-maxiter", type=int, default=1000)
+    p.add_argument("--cg-backend", choices=["xla", "fused"], default="xla",
+                   help="fermion CG operator backend (fused = Pallas VMEM "
+                        "kernel, ops/pallas_fermion.py)")
     p.add_argument("--plain-state", default=None,
                    help="run_state.npz with a thermalized plain chain")
     p.add_argument("--ft-state", default=None,
@@ -71,6 +74,8 @@ def main():
     p.add_argument("--row", action="append", required=True)
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    from fthmc_tpu import fermion
+    fermion.set_cg_backend(args.cg_backend)
 
     states, flows = {}, {}
 

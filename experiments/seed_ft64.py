@@ -43,7 +43,10 @@ def main():
     z, _ = flow_reverse(state.params, jnp.asarray(x), spec)
     # round-trip check: forward(z) must reproduce x (mod 2pi)
     xr, _ = flow_forward(state.params, z, spec)
-    err = float(jnp.max(jnp.abs(jnp.angle(jnp.exp(1j * (xr - jnp.asarray(x)))))))
+    # real-arithmetic angle wrap: complex exp/angle are UNIMPLEMENTED on the
+    # axon TPU backend (observed round-3 session-5)
+    d = (xr - jnp.asarray(x) + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    err = float(jnp.max(jnp.abs(d)))
     print(f"roundtrip max |x - f(f^-1(x))| = {err:.2e}", flush=True)
     assert err < 1e-3, err
 
