@@ -64,7 +64,7 @@ def main():
     p.add_argument("--chains", type=int, default=64)
     p.add_argument("--ntraj", type=int, default=192)
     p.add_argument("--cg-maxiter", type=int, default=1000)
-    p.add_argument("--cg-backend", choices=["xla", "fused"], default="xla",
+    p.add_argument("--cg-backend", choices=["xla", "fused", "mixed"], default="xla",
                    help="fermion CG operator backend (fused = Pallas VMEM "
                         "kernel, ops/pallas_fermion.py)")
     p.add_argument("--plain-state", default=None,

@@ -61,7 +61,7 @@ def main():
     p.add_argument("--n-mid", type=int, default=1,
                    help="heavy-term steps per outer drift (Hasenbusch)")
     p.add_argument("--cg-maxiter", type=int, default=1000)
-    p.add_argument("--cg-backend", choices=["xla", "fused"],
+    p.add_argument("--cg-backend", choices=["xla", "fused", "mixed"],
                    default="xla",
                    help="fermion CG operator backend (fused = Pallas VMEM\n                   kernel, ops/pallas_fermion.py)")
     args = p.parse_args()
