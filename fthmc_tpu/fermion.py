@@ -135,11 +135,16 @@ def cg_solve(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
     backend = backend or _CG_BACKEND
     if backend == "fused":
         from fthmc_tpu.ops.pallas_fermion import (cg_solve_fused,
-                                                  fused_cg_supported)
+                                                  fused_cg_supported,
+                                                  fused_cl_supported)
         L0, L1 = theta.shape[-2], theta.shape[-1]
-        if fused_cg_supported(L0, L1):
+        if fused_cg_supported(L0, L1) or fused_cl_supported(L0, L1):
+            # Mosaic kernels don't lower on the CPU backend; interpret
+            # mode there keeps CPU tests/virtual-mesh runs working while
+            # TPU gets the compiled kernel.
             return cg_solve_fused(theta, b, mass, x0, tol=tol,
-                                  maxiter=maxiter, eo=eo)
+                                  maxiter=maxiter, eo=eo,
+                                  interpret=jax.default_backend() == "cpu")
     if backend == "mixed":
         return _cg_solve_mixed(theta, b, mass, x0, tol=tol,
                                maxiter=maxiter, eo=eo)
@@ -191,35 +196,19 @@ def _plane_mdagm(ur, ui, p4, mass, eo):
     (roll=jnp.roll). Runs in whatever dtype the planes/links carry —
     bfloat16 for the mixed-precision CG below (python-float scalars stay
     weakly typed, so nothing silently promotes to f32)."""
-    from fthmc_tpu.ops.pallas_fermion import _hop_planes
+    from fthmc_tpu.ops.pallas_fermion import _hop_planes, normal_op_planes
     ur0, ur1 = ur[:, 0], ur[:, 1]
     ui0, ui1 = ui[:, 0], ui[:, 1]
-    a = mass + 2.0
     L0, L1 = p4.shape[-2], p4.shape[-1]
+    par = (jnp.arange(L0)[:, None] + jnp.arange(L1)[None, :]) % 2
+    even = (par == 0).astype(p4.dtype)[None]
+    odd = (par == 1).astype(p4.dtype)[None]
 
     def hop(s):
         return _hop_planes(ur0, ui0, ur1, ui1, *s, roll=jnp.roll)
 
-    if eo:
-        par = (jnp.arange(L0)[:, None] + jnp.arange(L1)[None, :]) % 2
-        even = (par == 0).astype(p4.dtype)[None]
-        odd = (par == 1).astype(p4.dtype)[None]
-        bc = 0.25 / a
-
-        def dhat(s):
-            h = hop(s)
-            h = hop(tuple(odd * c for c in h))
-            return tuple(a * si - bc * even * hi for si, hi in zip(s, h))
-    else:
-        def dhat(s):
-            h = hop(s)
-            return tuple(a * si - 0.5 * hi for si, hi in zip(s, h))
-
-    def dhat_dag(s):
-        r = dhat((s[0], s[1], -s[2], -s[3]))
-        return (r[0], r[1], -r[2], -r[3])
-
-    m = dhat_dag(dhat((p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3])))
+    m = normal_op_planes(hop, (p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]),
+                         mass, eo, even, odd)
     return jnp.stack(m, axis=1)
 
 

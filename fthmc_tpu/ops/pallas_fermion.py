@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pack_spinor", "unpack_spinor", "link_planes",
            "pallas_mdagm", "cg_solve_fused", "default_fermion_block",
-           "fused_cg_supported"]
+           "fused_cg_supported", "fused_cl_supported", "normal_op_planes"]
 
 
 def _roll(x, shift, axis):
@@ -135,41 +135,80 @@ def _hop_planes(ur0, ui0, ur1, ui1, s0r, s0i, s1r, s1i, roll=None):
     return h0r, h0i, h1r, h1i
 
 
-def _mdagm_kernel(ur_ref, ui_ref, p_ref, o_ref, *, mass, eo):
-    """out = Dhat^dag Dhat psi (eo=True) or D^dag D psi (eo=False) on one
-    chain block, entirely in VMEM."""
-    ur0, ur1 = ur_ref[:, 0], ur_ref[:, 1]
-    ui0, ui1 = ui_ref[:, 0], ui_ref[:, 1]
+def normal_op_planes(hop, s, mass, eo, even, odd):
+    """Compose the normal operator (D^dag D, or the even-odd Schur
+    Mhat = Dhat^dag Dhat) from a hop closure on 4 packed planes. The
+    SINGLE SOURCE of the operator composition: both kernel layouts and
+    the XLA-side mixed-precision CG (fermion._plane_mdagm) call this.
+    `even`/`odd` are parity-mask arrays broadcastable against the planes
+    (ignored when eo=False)."""
     a = mass + 2.0
-
-    L0, L1 = p_ref.shape[-2], p_ref.shape[-1]
     if eo:
-        i0 = jax.lax.broadcasted_iota(jnp.int32, (L0, L1), 0)
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (L0, L1), 1)
-        even = (((i0 + i1) % 2) == 0).astype(jnp.float32)[None]
-        odd = 1.0 - even
         b = 0.25 / a
 
-        def dhat(s0r, s0i, s1r, s1i):
-            h = _hop_planes(ur0, ui0, ur1, ui1, s0r, s0i, s1r, s1i)
-            h = tuple(odd * c for c in h)
-            h = _hop_planes(ur0, ui0, ur1, ui1, *h)
-            return (a * s0r - b * even * h[0], a * s0i - b * even * h[1],
-                    a * s1r - b * even * h[2], a * s1i - b * even * h[3])
+        def dhat(s):
+            h = hop(s)
+            h = hop(tuple(odd * c for c in h))
+            return tuple(a * si - b * even * hi for si, hi in zip(s, h))
     else:
-        def dhat(s0r, s0i, s1r, s1i):
-            h = _hop_planes(ur0, ui0, ur1, ui1, s0r, s0i, s1r, s1i)
-            return (a * s0r - 0.5 * h[0], a * s0i - 0.5 * h[1],
-                    a * s1r - 0.5 * h[2], a * s1i - 0.5 * h[3])
+        def dhat(s):
+            h = hop(s)
+            return tuple(a * si - 0.5 * hi for si, hi in zip(s, h))
 
-    def dhat_dag(s0r, s0i, s1r, s1i):
+    def dhat_dag(s):
         # g5 D g5: g5 negates the second spinor component's planes
-        r = dhat(s0r, s0i, -s1r, -s1i)
+        r = dhat((s[0], s[1], -s[2], -s[3]))
         return (r[0], r[1], -r[2], -r[3])
 
-    d = dhat(p_ref[:, 0], p_ref[:, 1], p_ref[:, 2], p_ref[:, 3])
-    m = dhat_dag(*d)
+    return dhat_dag(dhat(s))
+
+
+def _parity_masks(L0, L1, trailing):
+    """(even, odd) f32 masks of shape (L0, L1) + (1,)*trailing."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (L0, L1), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (L0, L1), 1)
+    even = (((i0 + i1) % 2) == 0).astype(jnp.float32)
+    even = even.reshape((L0, L1) + (1,) * trailing)
+    return even, 1.0 - even
+
+
+def _mdagm_kernel(ur_ref, ui_ref, p_ref, o_ref, *, mass, eo):
+    """out = Dhat^dag Dhat psi (eo=True) or D^dag D psi (eo=False) on one
+    chains-FIRST block (TB, 4, L0, L1), entirely in VMEM."""
+    ur0, ur1 = ur_ref[:, 0], ur_ref[:, 1]
+    ui0, ui1 = ui_ref[:, 0], ui_ref[:, 1]
+    L0, L1 = p_ref.shape[-2], p_ref.shape[-1]
+    even, odd = _parity_masks(L0, L1, 0)
+
+    def hop(s):
+        return _hop_planes(ur0, ui0, ur1, ui1, *s)
+
+    m = normal_op_planes(hop, (p_ref[:, 0], p_ref[:, 1], p_ref[:, 2],
+                               p_ref[:, 3]), mass, eo, even[None],
+                         odd[None])
     o_ref[:] = jnp.stack(m, axis=1)
+
+
+def _mdagm_cl_kernel(ur_ref, ui_ref, p_ref, o_ref, *, mass, eo):
+    """Chains-LAST layout: planes are (L0, L1, TB) with the chain block on
+    the 128-wide lane axis, so the lattice rolls act on sublane/untiled
+    axes only and small lattices (L < 32) waste no lanes — the
+    pallas_lattice.py chains-last lesson applied to the Dirac operator.
+    Block shapes: ur/ui (2, L0, L1, TB), p/o (4, L0, L1, TB)."""
+    ur0, ur1 = ur_ref[0], ur_ref[1]
+    ui0, ui1 = ui_ref[0], ui_ref[1]
+    L0, L1 = p_ref.shape[1], p_ref.shape[2]
+    even, odd = _parity_masks(L0, L1, 1)
+
+    def roll_cl(x, shift, axis):
+        return _roll(x, shift, axis - 1)   # hop's (TB,L0,L1) axes 1,2 -> 0,1
+
+    def hop(s):
+        return _hop_planes(ur0, ui0, ur1, ui1, *s, roll=roll_cl)
+
+    m = normal_op_planes(hop, (p_ref[0], p_ref[1], p_ref[2], p_ref[3]),
+                         mass, eo, even, odd)
+    o_ref[:] = jnp.stack(m, axis=0)
 
 
 def default_fermion_block(L: int, B: int) -> int:
@@ -186,27 +225,46 @@ def default_fermion_block(L: int, B: int) -> int:
 
 
 def fused_cg_supported(L0: int, L1: int) -> bool:
-    """Envelope where the fused kernel is expected to help AND compile
-    fast: square-ish lattices with lane dim >= 32 (Mosaic compiles
+    """Envelope where the chains-FIRST kernel is expected to help AND
+    compile fast: square-ish lattices with lane dim >= 32 (Mosaic compiles
     pathologically slowly at tiny tiled dims — round-2 lesson), even sides
     (checkerboard parity must tile)."""
     return L1 >= 32 and L0 >= 8 and L0 % 2 == 0 and L1 % 2 == 0
 
 
+def fused_cl_supported(L0: int, L1: int) -> bool:
+    """Envelope of the chains-LAST kernel: the whole 128-lane chain block
+    must fit ~24 (L0, L1, 128) f32 planes in scoped VMEM (~<= 13 MB), i.e.
+    L <= 32; even sides for the parity tiling. Complements
+    fused_cg_supported — together every even lattice has a fused path."""
+    return (L0 % 2 == 0 and L1 % 2 == 0 and L0 >= 4 and L1 >= 4
+            and 24 * L0 * L1 * 128 * 4 <= 13 * 2**20)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("mass", "eo", "block", "interpret"))
+                   static_argnames=("mass", "eo", "block", "interpret",
+                                    "layout"))
 def pallas_mdagm(theta: jnp.ndarray, psi: jnp.ndarray, mass: float, *,
                  eo: bool = True, block: int | None = None,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 layout: str = "cf") -> jnp.ndarray:
     """Drop-in fused replacement for fermion.apply_mdagm[_eo] (complex
     boundary: packs, runs the kernel, unpacks). For the CG hot loop use
-    cg_solve_fused, which stays packed across iterations."""
+    cg_solve_fused, which stays packed across iterations. layout: 'cf'
+    (chains-first) or 'cl' (chains-last, small lattices)."""
     squeeze = psi.ndim == 3
     if squeeze:
         theta, psi = theta[None], psi[None]
     ur, ui = link_planes(theta)
     p4 = pack_spinor(psi)
-    out = _mdagm_call(ur, ui, p4, mass, eo, block, interpret)
+    if layout == "cl":
+        out = _mdagm_call_cl(jnp.moveaxis(ur, 0, -1),
+                             jnp.moveaxis(ui, 0, -1),
+                             jnp.moveaxis(p4, 0, -1), mass, eo, block,
+                             interpret)
+        out = jnp.moveaxis(out, -1, 0)
+    else:
+        out = _mdagm_call(ur, ui, p4, mass, eo, block, interpret)
     res = unpack_spinor(out)
     return res[0] if squeeze else res
 
@@ -232,17 +290,39 @@ def _mdagm_call(ur, ui, p4, mass, eo, block, interpret):
     )(ur, ui, p4)
 
 
+def _mdagm_call_cl(urt, uit, p4t, mass, eo, block, interpret):
+    """Chains-last call: urt/uit (2, L0, L1, B), p4t (4, L0, L1, B)."""
+    _, L0, L1, B = p4t.shape
+    block = min(128, B) if block is None else min(block, B)
+    while B % block:
+        block //= 2
+    grid = (B // block,)
+    uspec = pl.BlockSpec((2, L0, L1, block), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((4, L0, L1, block), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mdagm_cl_kernel, mass=mass, eo=eo),
+        grid=grid,
+        in_specs=[uspec, uspec, pspec],
+        out_specs=pspec,
+        out_shape=jax.ShapeDtypeStruct(p4t.shape, jnp.float32),
+        interpret=interpret,
+    )(urt, uit, p4t)
+
+
 # ---------------------------------------------------------------------------
 # CG on the packed representation
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("mass", "tol", "maxiter", "eo",
-                                             "block", "interpret"))
+                                             "block", "interpret", "layout"))
 def cg_solve_fused(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
                    x0: jnp.ndarray | None = None, *, tol: float = 1e-8,
                    maxiter: int = 1000, eo: bool = True,
-                   block: int | None = None, interpret: bool = False):
+                   block: int | None = None, interpret: bool = False,
+                   layout: str = "auto"):
     """Batched CG for (D^dag D) x = b with the fused Pallas operator.
 
     Same semantics as fermion.cg_solve (complex in/out, per-chain
@@ -250,6 +330,11 @@ def cg_solve_fused(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
     VMEM-resident kernel and every vector op runs on the packed f32
     representation — complex CG on a hermitian PD operator IS real CG on
     the realified system, so <.,.> reductions become plain f32 sums.
+
+    `layout`: 'cf' (chains-first blocks — large lattices), 'cl'
+    (chains-last, chain block on the lane axis — small lattices), or
+    'auto' (cl where supported and L1 < 32, else cf). Transposes happen
+    once per solve at the HBM boundary, not per iteration.
     Returns fermion.CGResult."""
     from fthmc_tpu.fermion import CGResult
 
@@ -257,18 +342,49 @@ def cg_solve_fused(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
     if squeeze:
         theta, b = theta[None], b[None]
         x0 = None if x0 is None else x0[None]
+    L0, L1 = theta.shape[-2], theta.shape[-1]
+    if layout == "auto":
+        layout = "cl" if (fused_cl_supported(L0, L1)
+                          and not fused_cg_supported(L0, L1)) else "cf"
+
     ur, ui = link_planes(theta)
-    b4 = pack_spinor(b)
+    if layout == "cl":
+        ur, ui = (jnp.moveaxis(ur, 0, -1), jnp.moveaxis(ui, 0, -1))
 
-    def op(v):
-        return _mdagm_call(ur, ui, v, mass, eo, block, interpret)
+        def pack(c):
+            return jnp.moveaxis(pack_spinor(c), 0, -1)
 
-    def dot(u, v):
-        return jnp.sum(u * v, axis=(1, 2, 3))
+        def unpack(p):
+            return unpack_spinor(jnp.moveaxis(p, -1, 0))
 
+        def op(v):
+            return _mdagm_call_cl(ur, ui, v, mass, eo, block, interpret)
+
+        def dot(u, v):
+            return jnp.sum(u * v, axis=(0, 1, 2))
+
+        def bcast(a):
+            return a[None, None, None, :]
+    else:
+        def pack(c):
+            return pack_spinor(c)
+
+        def unpack(p):
+            return unpack_spinor(p)
+
+        def op(v):
+            return _mdagm_call(ur, ui, v, mass, eo, block, interpret)
+
+        def dot(u, v):
+            return jnp.sum(u * v, axis=(1, 2, 3))
+
+        def bcast(a):
+            return a[:, None, None, None]
+
+    b4 = pack(b)
     bsq = dot(b4, b4)
     stop = tol * bsq
-    x = jnp.zeros_like(b4) if x0 is None else pack_spinor(x0)
+    x = jnp.zeros_like(b4) if x0 is None else pack(x0)
     r = b4 - op(x)
     p = r
     rsq = dot(r, r)
@@ -283,17 +399,17 @@ def cg_solve_fused(theta: jnp.ndarray, b: jnp.ndarray, mass: float,
         mp = op(p)
         denom = dot(p, mp)
         alpha = jnp.where(active, rsq / jnp.maximum(denom, 1e-30), 0.0)
-        al = alpha[:, None, None, None]
+        al = bcast(alpha)
         x = x + al * p
         r = r - al * mp
         rsq_new = dot(r, r)
         beta = jnp.where(active, rsq_new / jnp.maximum(rsq, 1e-30), 0.0)
-        p = r + beta[:, None, None, None] * p
+        p = r + bcast(beta) * p
         rsq = jnp.where(active, rsq_new, rsq)
         return (x, r, p, rsq, k + 1)
 
     x, r, p, rsq, k = jax.lax.while_loop(cond, body, (x, r, p, rsq, 0))
-    sol = unpack_spinor(x)
+    sol = unpack(x)
     rel = rsq / jnp.maximum(bsq, 1e-30)
     if squeeze:
         sol, rel = sol[0], rel[0]

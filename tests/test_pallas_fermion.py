@@ -104,16 +104,31 @@ def test_block_helper():
 
 
 def test_backend_wiring_fallback():
-    """cg_solve(backend='fused') falls back to XLA outside the supported
-    envelope (small lattices) and set_cg_backend validates names."""
+    """cg_solve(backend='fused') uses the chains-last kernel at L=8 (every
+    even lattice now has a fused path; interpret mode auto-selected on
+    CPU), falls back to XLA only outside both envelopes (odd sides), and
+    set_cg_backend validates names."""
     theta, psi = _fields(jax.random.PRNGKey(8))
     phi, _ = fermion.pf_refresh(jax.random.PRNGKey(9), theta, MASS, eo=True)
-    # L=8 < 32 -> unsupported -> must silently use the XLA path
     got = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
                            eo=True, backend="fused")
     ref = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
                            eo=True, backend="xla")
-    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x))
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-4, rtol=1e-3)
+    # odd side -> neither kernel envelope -> silent XLA path (exact match)
+    th_odd = jax.random.uniform(jax.random.PRNGKey(10), (B, 2, 8, 9),
+                                minval=-np.pi, maxval=np.pi)
+    k2, k3 = jax.random.split(jax.random.PRNGKey(11))
+    psi_odd = (jax.random.normal(k2, (B, 8, 9, 2)) +
+               1j * jax.random.normal(k3, (B, 8, 9, 2))
+               ).astype(jnp.complex64)
+    phi_odd = fermion.dirac_dag(th_odd, psi_odd, MASS)
+    g2 = fermion.cg_solve(th_odd, phi_odd, MASS, tol=1e-10, maxiter=300,
+                          backend="fused")
+    r2 = fermion.cg_solve(th_odd, phi_odd, MASS, tol=1e-10, maxiter=300,
+                          backend="xla")
+    np.testing.assert_allclose(np.asarray(g2.x), np.asarray(r2.x))
     with pytest.raises(ValueError):
         fermion.set_cg_backend("nope")
     fermion.set_cg_backend("fused")
@@ -184,6 +199,57 @@ def test_backend_wiring_mixed():
     phi, _ = fermion.pf_refresh(jax.random.PRNGKey(18), theta, MASS, eo=True)
     got = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=2000,
                            eo=True, backend="mixed")
+    ref = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
+                           eo=True, backend="xla")
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# chains-last kernel layout (small lattices: chain block on the lane axis)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("eo", [False, True])
+def test_mdagm_cl_matches_xla(eo):
+    theta, psi = _fields(jax.random.PRNGKey(20))
+    if eo:
+        psi = psi * fermion.parity_mask(psi.shape, 0)
+        want = fermion.apply_mdagm_eo(theta, psi, MASS)
+    else:
+        want = fermion.apply_mdagm(theta, psi, MASS)
+    got = pf.pallas_mdagm(theta, psi, MASS, eo=eo, layout="cl",
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_cg_solve_fused_cl_matches():
+    theta, _ = _fields(jax.random.PRNGKey(21))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(22), theta, MASS, eo=True)
+    ref = fermion.cg_solve(theta, phi, MASS, tol=1e-12, maxiter=500, eo=True)
+    got = pf.cg_solve_fused(theta, phi, MASS, tol=1e-12, maxiter=500,
+                            eo=True, layout="cl", interpret=True)
+    assert np.all(np.asarray(got.rsq) < 1e-11)
+    resid = phi - fermion.apply_mdagm_eo(theta, got.x, MASS)
+    rel = np.linalg.norm(np.asarray(resid).ravel()) / np.linalg.norm(
+        np.asarray(phi).ravel())
+    assert rel < 1e-5
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_fused_layout_auto_and_envelope():
+    """auto -> cl below the chains-first envelope; backend='fused' at L=8
+    now uses the kernel (no silent xla fallback) and still matches xla."""
+    assert pf.fused_cl_supported(8, 8)
+    assert pf.fused_cl_supported(32, 32)
+    assert not pf.fused_cl_supported(64, 64)   # VMEM bound
+    assert not pf.fused_cl_supported(8, 9)
+    theta, _ = _fields(jax.random.PRNGKey(23))
+    phi, _ = fermion.pf_refresh(jax.random.PRNGKey(24), theta, MASS, eo=True)
+    got = pf.cg_solve_fused(theta, phi, MASS, tol=1e-10, maxiter=300,
+                            eo=True, layout="auto", interpret=True)
     ref = fermion.cg_solve(theta, phi, MASS, tol=1e-10, maxiter=300,
                            eo=True, backend="xla")
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
