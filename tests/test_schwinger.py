@@ -325,3 +325,25 @@ def test_hasenbusch_matches_standard_pf_plaquette():
     e_std = np.asarray(h_std.plaq)[150:].std() / np.sqrt(150)
     assert abs(p_std - p_hb) < 6 * max(e_std, 1e-4), (p_std, p_hb)
     assert abs(np.asarray(h_hb.exp_mdh)[150:].mean() - 1.0) < 0.05
+
+
+def test_mixed_cg_backend_full_step_exact():
+    """A full dynamical HMC run with the mixed-precision CG backend
+    (bf16 inner + f32 refinement) reproduces the xla-backend run: the
+    refinement restores f32-solve accuracy, so dH per trajectory agrees
+    to the CG tolerance, not to bf16."""
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.25, nstep=10,
+                          n_chains=4, ntraj=2, cg_tol_force=1e-10,
+                          cg_tol_mh=1e-12, cg_maxiter=400)
+    fermion.set_cg_backend("mixed")
+    try:
+        jax.clear_caches()   # backend is resolved at trace time
+        x_m, h_m = schwinger.run_hmc_dyn(cfg, key=jax.random.PRNGKey(5))
+    finally:
+        fermion.set_cg_backend("xla")
+        jax.clear_caches()
+    x_r, h_r = schwinger.run_hmc_dyn(cfg, key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(h_m.dh), np.asarray(h_r.dh),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_r), atol=1e-3)
+    assert np.all(np.abs(np.asarray(h_m.dh)) < 0.05)
