@@ -379,8 +379,10 @@ def cmd_schwinger(args) -> dict:
     or FT-HMC when --ckpt points at a flow (partial trivialization with a
     pure-gauge-trained flow; fthmc_tpu/schwinger.py). Beyond-reference
     capability — the expensive-force regime where FT-HMC wins wall-clock."""
+    from fthmc_tpu import fermion
     from fthmc_tpu.schwinger import (SchwingerConfig, run_fthmc_dyn_chunked,
                                      run_hmc_dyn_chunked)
+    fermion.set_cg_backend(args.cg_backend)
     cfg = SchwingerConfig(
         L=args.L, beta=args.beta, mass=args.mass, tau=args.tau,
         nstep=args.nstep, n_chains=args.chains, ntraj=args.ntraj,
@@ -788,6 +790,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--condensate", action="store_true",
                     help="stochastic <psibar psi> on the final configs")
     sp.add_argument("--start", choices=["hot", "cold"], default="hot")
+    sp.add_argument("--cg-backend", choices=["xla", "fused", "mixed"],
+                    default="xla",
+                    help="fermion solver backend: fused = VMEM-resident "
+                         "Pallas Dirac kernel (chains-first or chains-"
+                         "last layout auto-chosen by lattice size); "
+                         "mixed = bf16 inner CG + f32 refinement")
     sp.set_defaults(fn=cmd_schwinger)
 
     sp = sub.add_parser("pipeline")

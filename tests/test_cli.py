@@ -113,9 +113,10 @@ def test_flat_config_routing():
 def test_parser_schwinger():
     p = build_parser()
     a = p.parse_args(["schwinger", "--beta", "4.0", "--mass", "0.2",
-                      "--nstep", "12"])
+                      "--nstep", "12", "--cg-backend", "mixed"])
     assert a.beta == 4.0 and a.mass == 0.2 and a.nstep == 12
     assert a.integrator == "omelyan" and not a.no_warm_start
+    assert a.cg_backend == "mixed"
 
 
 def test_cli_schwinger_smoke(tmp_path):
