@@ -67,6 +67,9 @@ def main():
     p.add_argument("--cg-backend", choices=["xla", "fused", "mixed"], default="xla",
                    help="fermion CG operator backend (fused = Pallas VMEM "
                         "kernel, ops/pallas_fermion.py)")
+    p.add_argument("--call-block", type=int, default=64,
+                   help="max trajectories per device call (the worker "
+                        "crashes under multi-minute single executions)")
     p.add_argument("--plain-state", default=None,
                    help="run_state.npz with a thermalized plain chain")
     p.add_argument("--ft-state", default=None,
@@ -119,37 +122,52 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
         warm_start=r["warm"], hasenbusch_dm=r["hb_dm"],
         n_mid=r["n_mid"], cg_maxiter=args.cg_maxiter)
     key = jax.random.PRNGKey(7000 + i)
-    # first call compiles (jit is static in ntraj) and advances the
-    # chain; the SECOND call — chained state, fresh key — is timed.
+    # The axon worker hard-crashes under single device executions beyond
+    # a few minutes (round-3 lesson; 64^2 FT rows died 3/3), so every
+    # ntraj segment runs as chained calls of <= call_block trajectories
+    # with a host sync between. Timing is unchanged in spirit: the first
+    # (compile+advance) segment is untimed; the timed segment's wall
+    # includes the per-call sync overhead, which the production chunked
+    # drivers pay too (conservative).
+    cb = min(args.call_block, args.ntraj)
+    nseg = -(-args.ntraj // cb)
+
     if ft:
         params, spec = get_flow(r["ckpt"])
-        z = get_state(args.ft_state)
+        state = get_state(args.ft_state)
         if args.ft_state is None:
             from fthmc_tpu.models.flow import flow_reverse
-            z, _ = flow_reverse(params, z, spec)   # z0 = f^{-1}(0): cold
-        z1, _ = _run_fthmc_dyn_scan(params, spec, jax.random.fold_in(
-            key, 1), z, cfg, args.ntraj)
-        float(jnp.sum(z1))
-        t0 = time.time()
-        z2, h = _run_fthmc_dyn_scan(params, spec, key, z1, cfg,
-                                    args.ntraj)
-        float(jnp.sum(z2))
+            state, _ = flow_reverse(params, state, spec)  # f^{-1}(0): cold
+
+        def seg(state, k):
+            return _run_fthmc_dyn_scan(params, spec, k, state, cfg, cb)
     else:
-        x = get_state(args.plain_state)
-        x1, _ = _run_hmc_dyn_scan(jax.random.fold_in(key, 1), x, cfg,
-                                  args.ntraj)
-        float(jnp.sum(x1))
-        t0 = time.time()
-        x2, h = _run_hmc_dyn_scan(key, x1, cfg, args.ntraj)
-        float(jnp.sum(x2))
-    wall = time.time() - t0
+        state = get_state(args.plain_state)
+
+        def seg(state, k):
+            return _run_hmc_dyn_scan(k, state, cfg, cb)
+
+    def run(state, k0, timed):
+        hs, t0 = [], time.time()
+        for j in range(nseg):
+            state, h = seg(state, jax.random.fold_in(k0, j))
+            float(jnp.sum(state))   # sync (block_until_ready unreliable)
+            if timed:
+                hs.append(h)
+        return state, hs, time.time() - t0
+
+    state, _, _ = run(state, jax.random.fold_in(key, 1), False)
+    state, hs, wall = run(state, key, True)
+    h = jax.tree.map(lambda *a: np.concatenate(
+        [np.asarray(x) for x in a]), *hs)
+    ntraj = nseg * cb
     row = dict(**r, tau_used=tau,
                acc=float(np.asarray(h.acc).mean()),
                exp_mdh=float(np.asarray(h.exp_mdh).mean()),
                plaq=float(np.asarray(h.plaq).mean()),
                q_mobility=float(np.mean(
                    np.abs(np.diff(np.asarray(h.q), axis=0)) ** 2)),
-               s_per_traj=wall / args.ntraj, wall_s=wall)
+               s_per_traj=wall / ntraj, wall_s=wall)
     rows.append(row)
     print(json.dumps(row), flush=True)
     with open(os.path.join(args.out, "scan.json"), "w") as f:
