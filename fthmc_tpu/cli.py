@@ -378,7 +378,9 @@ def cmd_schwinger(args) -> dict:
     """Dynamical-fermion (two-flavor Schwinger model) sampler: plain HMC,
     or FT-HMC when --ckpt points at a flow (partial trivialization with a
     pure-gauge-trained flow; fthmc_tpu/schwinger.py). Beyond-reference
-    capability — the expensive-force regime where FT-HMC wins wall-clock."""
+    capability — the expensive-force regime (FT-HMC wins per-trajectory
+    decorrelation everywhere; wall-clock from beta~8 at 16^2 m=0.1, and
+    wherever topology freezes — BENCH.md round 3)."""
     from fthmc_tpu import fermion
     from fthmc_tpu.schwinger import (SchwingerConfig, run_fthmc_dyn_chunked,
                                      run_hmc_dyn_chunked)
