@@ -1,23 +1,24 @@
 #!/usr/bin/env python
-"""Dynamical fermions end-to-end: the two-flavor Schwinger model.
+"""Single-file walkthrough of the dynamical-fermion (two-flavor Schwinger
+model) capability: plain pseudofermion HMC, FT-HMC with a transferred
+pure-gauge flow, solver backends, and the fermionic observables.
 
-Walkthrough (one TPU chip, ~3 min):
-  1. plain pseudofermion HMC at 8^2, beta=2, m0=0.3 — exactness checks
-     (<exp(-dH)> ~ 1) and the fermion determinant's plaquette shift;
-  2. heavy-mass limit -> pure-gauge <plaq> (the analytic cross-check);
-  3. fermionic observables: stochastic <psibar psi> and the point-source
-     pion correlator C(t) with its cosh effective mass;
-  4. FT-HMC with a pure-gauge-trained flow on the DYNAMICAL theory
-     (partial trivialization: the flow flattens the gauge measure; the
-     Metropolis step corrects both the flow mismatch and the determinant).
+Beyond-reference: nftqcd/fthmc is pure-gauge only; this is the
+expensive-force regime its motivation paper (arXiv:2112.01586) targets.
+Physics checks printed as it goes: <exp(-dH)> ~ 1 (exactness),
+plain-vs-FT <plaq>/chi_Q agreement (cross-sampler validation — no
+analytic value exists with fermions), gamma_5-hermiticity, and the pion
+correlator's cosh shape.
 
-This regime is the framework's wall-clock headline: with a CG solve in
-every force evaluation, FT-HMC's tau_int(Q) advantage converts to real
-eff-samples/s (BENCH.md round-3 Schwinger section; cf. the pure-gauge
-ladder where the stencil force is too cheap for ANY flow to amortize).
+    python examples/demo_schwinger.py [--quick] [--ckpt artifacts/...]
+
+Runs in a few minutes on one TPU chip at the defaults (L=8); --quick
+shrinks it for CPU smoke tests.
 """
+import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,67 +26,94 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fthmc_tpu import lattice
-from fthmc_tpu.fermion import chiral_condensate, pion_correlator
+from fthmc_tpu import fermion
 from fthmc_tpu.schwinger import (SchwingerConfig, run_fthmc_dyn_chunked,
                                  run_hmc_dyn_chunked)
 
-L, BETA, MASS = 8, 2.0, 0.3
+
+def summarize(tag, hist, therm):
+    acc = float(np.asarray(hist.acc)[therm:].mean())
+    emdh = float(np.asarray(hist.exp_mdh)[therm:].mean())
+    plaq = float(np.asarray(hist.plaq)[therm:].mean())
+    q = np.asarray(hist.q)[therm:]
+    chi = float((q ** 2).mean())
+    print(f"[{tag}] acc={acc:.3f} <exp(-dH)>={emdh:.4f} "
+          f"<plaq>={plaq:.5f} chi_Q={chi:.3f}")
+    return plaq, chi
 
 
 def main():
-    print("== 1. plain dynamical HMC ==", flush=True)
-    cfg = SchwingerConfig(L=L, beta=BETA, mass=MASS, tau=1.0, nstep=10,
-                          n_chains=32, ntraj=512)
-    x, h = run_hmc_dyn_chunked(cfg, block=128, key=jax.random.PRNGKey(0))
-    therm = 128
-    plaq = float(np.asarray(h.plaq)[therm:].mean())
-    emdh = float(np.asarray(h.exp_mdh)[therm:].mean())
-    print(f"  acc={np.asarray(h.acc)[therm:].mean():.3f}  "
-          f"<exp(-dH)>={emdh:.4f} (want ~1)  <plaq>={plaq:.5f} vs "
-          f"pure-gauge {lattice.PLAQ_EXACT[BETA]:.5f} "
-          f"(fermions push it UP)", flush=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--L", type=int, default=8)
+    ap.add_argument("--beta", type=float, default=3.0)
+    ap.add_argument("--mass", type=float, default=0.2)
+    ap.add_argument("--cg-backend", choices=["xla", "fused", "mixed"],
+                    default="xla")
+    ap.add_argument("--ckpt", default="artifacts/flow8x8_b3_rncp24_ftb6",
+                    help="flow checkpoint for the FT-HMC leg (skipped if "
+                         "missing)")
+    args = ap.parse_args()
+    fermion.set_cg_backend(args.cg_backend)
+    L, ntraj, chains = args.L, (64 if args.quick else 512), \
+        (4 if args.quick else 32)
+    therm = ntraj // 4
+    print(f"devices: {jax.devices()}  backend: {args.cg_backend}")
 
-    print("== 2. heavy-mass limit ==", flush=True)
-    hcfg = SchwingerConfig(L=L, beta=BETA, mass=25.0, tau=1.0, nstep=10,
-                           n_chains=32, ntraj=384, cg_maxiter=100)
-    _, hh = run_hmc_dyn_chunked(hcfg, block=128, key=jax.random.PRNGKey(1))
-    hplaq = float(np.asarray(hh.plaq)[128:].mean())
-    print(f"  m0=25: <plaq>={hplaq:.5f} -> pure gauge "
-          f"{lattice.PLAQ_EXACT[BETA]:.5f} (det ~ const)", flush=True)
+    # gamma_5-hermiticity: <chi, D psi> == <D^dag chi, psi> exactly
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.uniform(key, (2, L, L), minval=-np.pi, maxval=np.pi)
+    k1, k2 = jax.random.split(key)
+    psi = (jax.random.normal(k1, (L, L, 2)) +
+           1j * jax.random.normal(k2, (L, L, 2))).astype(jnp.complex64)
+    chi = (jax.random.normal(k2, (L, L, 2)) +
+           1j * jax.random.normal(k1, (L, L, 2))).astype(jnp.complex64)
 
-    print("== 3. fermionic observables ==", flush=True)
-    cc = np.asarray(chiral_condensate(jax.random.PRNGKey(2), x, MASS,
-                                      n_noise=16))
-    print(f"  <psibar psi> = {cc.mean():.4f} +- "
-          f"{cc.std(ddof=1) / len(cc) ** 0.5:.4f}", flush=True)
-    c = np.asarray(pion_correlator(x, MASS)).mean(axis=0)
-    meff = np.log(c[1:L // 2] / c[2:L // 2 + 1])
-    print(f"  pion C(t): {np.array2string(c, precision=4)}", flush=True)
-    print(f"  effective mass m_eff(t): "
-          f"{np.array2string(meff, precision=3)}", flush=True)
+    @jax.jit
+    def g5_check(theta, chi, psi):
+        a = jnp.sum(jnp.conj(chi) * fermion.dirac(theta, psi, args.mass))
+        b = jnp.sum(jnp.conj(fermion.dirac_dag(theta, chi, args.mass)) * psi)
+        d = a - b
+        return jnp.real(d) ** 2 + jnp.imag(d) ** 2
+    print(f"gamma5-hermiticity |<chi,D psi> - <D^dag chi,psi>|^2 = "
+          f"{float(g5_check(theta, chi, psi)):.2e}")
 
-    print("== 4. FT-HMC on the dynamical theory ==", flush=True)
-    ckpt = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "flow8x8_b3_rncp24")
-    if not os.path.isdir(ckpt):
-        print("  (no flow checkpoint found; skipping)", flush=True)
-        return
-    from fthmc_tpu.checkpoint import load_checkpoint_auto
-    state, meta, spec, _ = load_checkpoint_auto(ckpt)
-    fcfg = SchwingerConfig(L=L, beta=3.0, mass=MASS, tau=0.5, nstep=48,
-                           n_chains=32, ntraj=256)
-    from fthmc_tpu.models.flow import flow_reverse
-    z0, _ = flow_reverse(state.params,
-                         jnp.zeros((32, 2, L, L), jnp.float32), spec)
-    z, hf = run_fthmc_dyn_chunked(state.params, spec, fcfg, block=64,
-                                  z0=z0, key=jax.random.PRNGKey(3))
-    therm = 64
-    print(f"  beta=3 m0={MASS}: acc={np.asarray(hf.acc)[therm:].mean():.3f}"
-          f"  <plaq>={np.asarray(hf.plaq)[therm:].mean():.5f}"
-          f"  <exp(-dH)>={np.asarray(hf.exp_mdh)[therm:].mean():.3f}"
-          f"  Q-mobility/traj={np.asarray(hf.dq)[therm:].mean():.3f}",
-          flush=True)
+    cfg = SchwingerConfig(L=L, beta=args.beta, mass=args.mass, tau=1.0,
+                          nstep=8 if args.quick else 16, n_chains=chains,
+                          ntraj=ntraj)
+    t0 = time.time()
+    x, hist = run_hmc_dyn_chunked(cfg, block=min(ntraj, 128),
+                                  key=jax.random.PRNGKey(1))
+    jax.block_until_ready(x)
+    p_plain, chi_plain = summarize("plain HMC", hist, therm)
+    print(f"  ({(time.time() - t0) / ntraj * 1e3:.1f} ms/traj, "
+          f"{chains} chains)")
+
+    # pion correlator on the last configs: cosh-symmetric in t
+    c = np.asarray(fermion.pion_correlator(x[:4], args.mass))
+    sym = np.abs(c[:, 1:L // 2] - c[:, :-L // 2:-1]).mean() / c.mean()
+    print(f"pion C(t) cosh-asymmetry (0 = exact): {sym:.3f}")
+
+    if os.path.isdir(args.ckpt):
+        from fthmc_tpu.checkpoint import load_checkpoint_auto
+        from fthmc_tpu.models.flow import flow_reverse
+        state, meta, spec, _ = load_checkpoint_auto(args.ckpt)
+        print(f"FT-HMC with {spec.coupling} x{spec.n_layers} flow "
+              f"(trained pure-gauge at 8^2, transferred unchanged)")
+        cfg_ft = SchwingerConfig(L=L, beta=args.beta, mass=args.mass,
+                                 tau=0.5, nstep=4 if args.quick else 8,
+                                 n_chains=chains, ntraj=ntraj)
+        z0, _ = flow_reverse(state.params, jnp.asarray(x), spec)
+        z, hist_ft = run_fthmc_dyn_chunked(state.params, spec, cfg_ft,
+                                           block=min(ntraj, 128), z0=z0,
+                                           key=jax.random.PRNGKey(2))
+        jax.block_until_ready(z)
+        p_ft, chi_ft = summarize("FT-HMC", hist_ft, therm)
+        print(f"cross-sampler <plaq> agreement: "
+              f"|{p_plain:.5f} - {p_ft:.5f}| = {abs(p_plain - p_ft):.1e}")
+    else:
+        print(f"(no flow checkpoint at {args.ckpt}; FT-HMC leg skipped)")
+    print("demo OK")
 
 
 if __name__ == "__main__":
