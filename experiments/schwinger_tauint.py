@@ -49,6 +49,12 @@ def main():
     p.add_argument("--block", type=int, default=128)
     p.add_argument("--therm-frac", type=float, default=0.25)
     p.add_argument("--start", choices=["hot", "cold"], default="cold")
+    p.add_argument("--init-state", default=None,
+                   help="run_state.npz with thermalized PHYSICAL configs "
+                        "('z' key of a plain chain) to start from; for FT "
+                        "runs they are mapped to latent space with the "
+                        "flow inverse. Overrides --start; ignored when "
+                        "resuming. Pair with a small --therm-frac.")
     p.add_argument("--block-timeout", type=int, default=900,
                    help="max wall seconds per block before assuming a "
                         "silent TPU-worker death (first block; later "
@@ -91,7 +97,18 @@ def main():
         key = jnp.asarray(data["key"])
         print(f"resuming at traj {done}", flush=True)
     else:
-        if args.start == "cold":
+        if args.init_state is not None:
+            x = np.load(args.init_state)["z"]
+            if x.shape[0] < args.chains:
+                x = np.tile(x, (-(-args.chains // x.shape[0]), 1, 1, 1))
+            x = jnp.asarray(x[:args.chains])
+            if ft:
+                from fthmc_tpu.models.flow import flow_reverse
+                z, _ = flow_reverse(params, x, spec)
+            else:
+                z = x
+            print(f"thermalized init from {args.init_state}", flush=True)
+        elif args.start == "cold":
             if ft:
                 from fthmc_tpu.models.flow import flow_reverse
                 z, _ = flow_reverse(params, jnp.zeros(
