@@ -4,38 +4,101 @@ round-3 Schwinger section) from the committed measurement artifacts.
 
     python experiments/schwinger_table.py [--dir artifacts/round3]
 
-eff-samples/s/chip = n_chains / (2 * tau_int(Q) * s_per_traj). tau_int
-comes from the longest (most converged) production chain per point;
-s_per_traj from the stage-8c/8d RE-TIMED equilibrium rows (the half-spinor
-hop + fused kernels landed after the original chains ran, so in-run chain
-timings overstate the shipped code's cost) — falling back to the chain's
-own in-run timing when no re-time exists. Both are printed.
+eff-samples/s/chip = n_chains / (2 * tau_int(Q) * s_per_traj).
+
+tau_int comes from the longest (most converged) production chain per
+row. s_per_traj = min over available timing sources: the chain's own
+in-run wall (conservative: includes block/persist overhead), the
+stage-8c/8d re-timed equilibrium rows, and the stage-9 equilibrium
+probes (warm-started mts-scan rows on the shipped code) — all at the
+row's exact (sampler, nstep, tau).
+
+Rows with no affordable direct chain (plain at beta=8 needs ~1M
+trajectories) are ESTIMATED from the calibrated mobility relation
+tau ~ r * chi_Q / mobility with r = 1.9 +- 0.2 (the >=30-tau-chain
+calibration, experiments/mobility_relation.py); chi_Q is taken from the
+most-converged chain at the point (sampler-independent, validated on
+every direct pair) and mobility from a dedicated equilibrium mobility
+chain at the row's config. Estimated rows are flagged 'est' and carry
+the r band as their systematic.
 """
 import argparse
 import json
 import os
 
-ROWS = [
-    # (beta, sampler label, tau_int artifact, nstep, tau, config note)
-    (4.0, "plain", "schwinger_b4_plain_t2n8.json", 8, 2.0, "tau=2 n8 B=128"),
-    (4.0, "FT", "schwinger_b4_ft_ftb6_t05n8.json", 8, 0.5, "ftb6 t=.5 n8"),
-    (5.0, "plain", "schwinger_b5_plain_t2n8.json", 8, 2.0, "tau=2 n8 B=128"),
-    (5.0, "FT", "schwinger_b5_ft_ftb6_t05n8.json", 8, 0.5, "ftb6 t=.5 n8"),
-    (6.0, "plain", "schwinger_b6_plain_t2n8.json", 8, 2.0, "tau=2 n8 B=128"),
-    (6.0, "plain", "schwinger_b6_plain_t1n4.json", 4, 1.0, "tau=1 n4 B=128"),
-    (6.0, "FT", "schwinger_b6_ft_ftb6_t05n4.json", 4, 0.5, "ftb6 t=.5 n4"),
-    (6.0, "FT", "schwinger_b6_ft_ftb6_t05n8.json", 8, 0.5, "ftb6 t=.5 n8"),
-    (7.0, "plain", "schwinger_b7_plain_t2n8_40tau.json", 8, 2.0,
-     "tau=2 n8 B=128 (36tau)"),
-    (7.0, "FT", "schwinger_b7_ft_ftb6_t05n4_40tau.json", 4, 0.5,
-     "ftb6 t=.5 n4 (42tau)"),
-    (7.0, "FT", "schwinger_b7_ft_ftb6_t05n8.json", 8, 0.5, "ftb6 t=.5 n8"),
+R_BAND = (1.7, 1.9, 2.1)   # mobility-relation coefficient (lo, mid, hi)
+
+# point -> list of row dicts:
+#   chain: direct tau_int artifact
+#   est:   (mobility artifact, chi_Q artifact) for a relation-estimated row
+POINTS = [
+    ("16m01b4", dict(L=16, beta=4), [
+        dict(s="plain", note="tau=2 n8 B=128", nstep=8, tau=2.0,
+             chain="schwinger_b4_plain_t2n8.json"),
+        dict(s="FT", note="ftb6 t=.5 n8", nstep=8, tau=0.5,
+             chain="schwinger_b4_ft_ftb6_t05n8.json"),
+    ]),
+    ("16m01b5", dict(L=16, beta=5), [
+        dict(s="plain", note="tau=2 n8 B=128", nstep=8, tau=2.0,
+             chain="schwinger_b5_plain_t2n8.json"),
+        dict(s="FT", note="ftb6 t=.5 n8", nstep=8, tau=0.5,
+             chain="schwinger_b5_ft_ftb6_t05n8.json"),
+    ]),
+    ("16m01b6", dict(L=16, beta=6), [
+        dict(s="plain", note="tau=2 n8 B=128", nstep=8, tau=2.0,
+             chain="schwinger_b6_plain_t2n8.json"),
+        dict(s="plain", note="tau=2 n10 B=128", nstep=10, tau=2.0,
+             chain="schwinger_b6_plain_t2n10.json"),
+        dict(s="FT", note="ftb6 t=.5 n4", nstep=4, tau=0.5,
+             chain="schwinger_b6_ft_ftb6_t05n4.json"),
+    ]),
+    ("16m01b7", dict(L=16, beta=7), [
+        dict(s="plain", note="tau=2 n8 B=128 (36t)", nstep=8, tau=2.0,
+             chain="schwinger_b7_plain_t2n8_40tau.json"),
+        dict(s="plain", note="tau=2 n10 B=128", nstep=10, tau=2.0,
+             chain="schwinger_b7_plain_t2n10.json"),
+        dict(s="FT", note="ftb6 t=.5 n4 (42t)", nstep=4, tau=0.5,
+             chain="schwinger_b7_ft_ftb6_t05n4_40tau.json"),
+    ]),
+    ("16m01b8", dict(L=16, beta=8), [
+        dict(s="plain", note="tau=2 n10 B=128 EST", nstep=10, tau=2.0,
+             est=("schwinger_b8_plain_mobility_n10.json",
+                  "schwinger_b8_ft_ftb6_t05n4_ext.json")),
+        dict(s="plain", note="tau=2 n8 B=128 EST", nstep=8, tau=2.0,
+             est=("schwinger_b8_plain_mobility.json",
+                  "schwinger_b8_ft_ftb6_t05n4_ext.json")),
+        dict(s="FT", note="ftb6 t=.5 n4", nstep=4, tau=0.5,
+             chain="schwinger_b8_ft_ftb6_t05n4_ext.json"),
+    ]),
+    ("32m01b6", dict(L=32, beta=6), [
+        dict(s="plain", note="tau=2 n16 B=64 (79t)", nstep=16, tau=2.0,
+             chain="schwinger_L32_b6_plain_t2n16.json"),
+        dict(s="plain", note="tau=2 n10 B=64", nstep=10, tau=2.0,
+             chain="schwinger_L32_b6_plain_t2n10.json"),
+        dict(s="FT", note="ftb6 t=.5 n6 (26t)", nstep=6, tau=0.5,
+             chain="schwinger_L32_b6_ft_t05n6_ext.json"),
+        dict(s="FT", note="ftb6 t=.5 n6 fresh", nstep=6, tau=0.5,
+             chain="schwinger_L32_b6_ft_t05n6_ext2.json"),
+    ]),
+    ("64m01b6", dict(L=64, beta=6), [
+        dict(s="plain", note="tau=2 n16 B=64 (18t)", nstep=16, tau=2.0,
+             chain="schwinger_L64_b6_plain_t2n16.json"),
+        dict(s="FT", note="ftb6 t=.5 n16 (15t)", nstep=16, tau=0.5,
+             chain="schwinger_L64_b6_ft_t05n16.json"),
+    ]),
 ]
+
+PROBES = {  # (L, beta) -> stage-9 equilibrium probe artifacts
+    (32, 6): ["probe_L32_plain.json", "probe_L32_ft.json"],
+    (16, 8): ["probe_b8_plain.json", "probe_b8_ft.json"],
+    (16, 7): ["probe_b7_plain.json", "probe_b7_ft.json"],
+    (16, 6): ["probe_b6_plain.json"],
+}
 
 
 def load_retimes(adir):
-    """{(beta, sampler, nstep, tau, backend): s_per_traj} from the stage-8c
-    (xla) and stage-8d (fused) equilibrium re-time scans."""
+    """{(beta, sampler, nstep, tau, src): s_per_traj} from the stage-8c
+    (xla) / stage-8d (fused) re-times — 16^2 rows only."""
     out = {}
     for beta in (4, 5, 6, 7):
         for backend, fname in (("xla", f"retime_b{beta}.json"),
@@ -45,40 +108,101 @@ def load_retimes(adir):
                 continue
             for r in json.load(open(path))["rows"]:
                 sampler = "FT" if r["sampler"] == "ft" else "plain"
-                key = (float(beta), sampler, r["nstep"],
-                       float(r["tau_used"]), backend)
-                out[key] = r["s_per_traj"]
+                key = (16, float(beta), sampler, r["nstep"],
+                       float(r["tau_used"]))
+                out.setdefault(key, {})[backend] = r["s_per_traj"]
     return out
+
+
+def load_probes(adir):
+    """Same key -> {'probe': s_per_traj} from the stage-9 probes."""
+    out = {}
+    for (L, beta), files in PROBES.items():
+        for fname in files:
+            path = os.path.join(adir, fname)
+            if not os.path.exists(path):
+                continue
+            for r in json.load(open(path))["rows"]:
+                sampler = "FT" if r["sampler"] == "ft" else "plain"
+                key = (L, float(beta), sampler, r["nstep"],
+                       float(r["tau_used"]))
+                out.setdefault(key, {})[
+                    "probe"] = r["s_per_traj"]
+    return out
+
+
+def best_timing(timings, spt_run):
+    cands = dict(timings or {})
+    cands["run"] = spt_run
+    src = min(cands, key=lambda k: cands[k] if cands[k] else 1e9)
+    return cands[src], src
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dir", default="artifacts/round3")
     args = p.parse_args()
-    retimes = load_retimes(args.dir)
+    timings = load_retimes(args.dir)
+    for k, v in load_probes(args.dir).items():
+        timings.setdefault(k, {}).update(v)
 
-    print(f"{'beta':>4} {'sampler':>7} {'config':>24} {'acc':>6} "
-          f"{'tau_int(Q)':>14} {'chi_Q':>13} {'s/traj':>20} {'eff/s':>7}")
-    for beta, sampler, fname, nstep, tau, note in ROWS:
-        path = os.path.join(args.dir, fname)
-        if not os.path.exists(path):
-            print(f"{beta:>4} {sampler:>7} {note:>24}   -- missing: {fname}")
-            continue
-        r = json.load(open(path))
-        spt_run = r["s_per_traj"]
-        spt_x = retimes.get((beta, sampler, nstep, tau, "xla"))
-        spt_f = retimes.get((beta, sampler, nstep, tau, "fused"))
-        best = min(v for v in (spt_run, spt_x, spt_f) if v is not None)
-        eff = r["n_chains"] / (2.0 * r["tau_int_q"] * best)
-        parts = [f"run:{spt_run:.4f}"]
-        if spt_x is not None:
-            parts.append(f"x:{spt_x:.4f}")
-        if spt_f is not None:
-            parts.append(f"f:{spt_f:.4f}")
-        print(f"{beta:>4} {sampler:>7} {note:>24} {r['acc']:>6.3f} "
-              f"{r['tau_int_q']:>8.1f}({r['tau_int_q_err']:.1f}) "
-              f"{r['chi_q']:>8.3f}({r['chi_q_err']:.3f}) "
-              f"{' '.join(parts):>20} {eff:>7.2f}")
+    hdr = (f"{'point':>8} {'samp':>5} {'config':>22} {'acc':>6} "
+           f"{'tau_int(Q)':>16} {'chi_Q':>14} {'s/traj':>12} "
+           f"{'eff/s':>12}")
+    print(hdr)
+    for point, meta, rows in POINTS:
+        effs = {}
+        for row in rows:
+            key = (meta["L"], float(meta["beta"]), row["s"],
+                   row["nstep"], row["tau"])
+            if "chain" in row:
+                path = os.path.join(args.dir, row["chain"])
+                if not os.path.exists(path):
+                    print(f"{point:>8} {row['s']:>5} {row['note']:>22}"
+                          f"   -- missing: {row['chain']}")
+                    continue
+                r = json.load(open(path))
+                spt, src = best_timing(timings.get(key), r["s_per_traj"])
+                tau, terr = r["tau_int_q"], r["tau_int_q_err"]
+                eff = r["n_chains"] / (2 * tau * spt)
+                eeff = eff * terr / tau
+                ntau = r.get("ntraj_used", 0) / tau
+                print(f"{point:>8} {row['s']:>5} {row['note']:>22} "
+                      f"{r['acc']:>6.3f} {tau:>9.1f}({terr:.1f})"
+                      f"[{ntau:.0f}t] {r['chi_q']:>8.3f}({r['chi_q_err']:.3f})"
+                      f" {spt:>8.4f}({src[0]}) {eff:>7.2f}({eeff:.2f})")
+                effs.setdefault(row["s"], []).append((eff, eeff))
+            else:
+                mob_f, chi_f = row["est"]
+                mp, cp = (os.path.join(args.dir, f) for f in (mob_f, chi_f))
+                if not (os.path.exists(mp) and os.path.exists(cp)):
+                    print(f"{point:>8} {row['s']:>5} {row['note']:>22}"
+                          f"   -- missing: {mob_f} / {chi_f}")
+                    continue
+                m, c = json.load(open(mp)), json.load(open(cp))
+                spt, src = best_timing(timings.get(key), m["s_per_traj"])
+                taus = [r * c["chi_q"] / m["q_mobility_dt1"]
+                        for r in R_BAND]
+                eff = m["n_chains"] / (2 * taus[1] * spt)
+                lo = m["n_chains"] / (2 * taus[2] * spt)
+                hi = m["n_chains"] / (2 * taus[0] * spt)
+                print(f"{point:>8} {row['s']:>5} {row['note']:>22} "
+                      f"{m['acc']:>6.3f} {taus[1]:>8.0f}"
+                      f"[{taus[0]:.0f}-{taus[2]:.0f}] "
+                      f"{c['chi_q']:>8.3f}({c['chi_q_err']:.3f})"
+                      f" {spt:>8.4f}({src[0]}) {eff:>7.2f}[{lo:.2f}-{hi:.2f}]")
+                effs.setdefault(row["s"], []).append((eff, (hi - lo) / 2))
+        if effs.get("plain") and effs.get("FT"):
+            bp = max(effs["plain"])
+            bf = max(effs["FT"])
+            ratio = bf[0] / bp[0]
+            err = ratio * ((bp[1] / bp[0]) ** 2
+                           + (bf[1] / bf[0]) ** 2) ** 0.5
+            who = "FT" if ratio > 1 else "plain"
+            x = ratio if ratio > 1 else 1 / ratio
+            print(f"{'':>8} -> verdict: {who} x{x:.2f} (+-{err:.2f} on "
+                  f"FT/plain={ratio:.2f})")
+        print()
 
 
 if __name__ == "__main__":
