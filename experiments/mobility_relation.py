@@ -5,8 +5,9 @@ Earlier round-3 text used r = 1 ("tau ~ chi_Q/mobility, validated 12%
 worst case") — but that validation compared against UNCONVERGED direct
 chains (17–22 tau), whose tau_int is biased low by 25–70% (BENCH.md
 convergence study); the two biases cancelled. On chains >= min-tau the
-coefficient is r ~ 0.42–0.57, drifting up with beta (this script prints
-the calibration table from the committed artifacts).
+coefficient is r = tau*mob/chi_Q ~ 1.75–2.4, drifting DOWN slowly with
+beta (this script prints the calibration table from the committed
+artifacts; BENCH.md quotes the band r = 1.9 +- 0.2).
 
 Use: tau_est(config) = r(beta) * chi_Q / mobility(config), with chi_Q
 from the most-converged chain at the point (it is config-independent)

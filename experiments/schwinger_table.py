@@ -83,8 +83,12 @@ POINTS = [
     ("64m01b6", dict(L=64, beta=6), [
         dict(s="plain", note="tau=2 n16 B=64 (18t)", nstep=16, tau=2.0,
              chain="schwinger_L64_b6_plain_t2n16.json"),
+        dict(s="plain", note="tau=2 n16 B=64 ext", nstep=16, tau=2.0,
+             chain="schwinger_L64_b6_plain_t2n16_ext.json"),
         dict(s="FT", note="ftb6 t=.5 n16 (15t)", nstep=16, tau=0.5,
              chain="schwinger_L64_b6_ft_t05n16.json"),
+        dict(s="FT", note="ftb6 t=.5 n16 ext", nstep=16, tau=0.5,
+             chain="schwinger_L64_b6_ft_t05n16_ext.json"),
     ]),
 ]
 
@@ -93,7 +97,18 @@ PROBES = {  # (L, beta) -> stage-9 equilibrium probe artifacts
     (16, 8): ["probe_b8_plain.json", "probe_b8_ft.json"],
     (16, 7): ["probe_b7_plain.json", "probe_b7_ft.json"],
     (16, 6): ["probe_b6_plain.json"],
+    (64, 6): ["probe_L64_plain.json", "probe_L64_ft.json"],
 }
+
+# Rungs decided by a mobility PAIR alone: the wall-clock verdict ratio
+# eff_FT/eff_plain = (B_FT*mob_FT/s_FT) / (B_plain*mob_plain/s_plain)
+# is chi_Q- and r-free (both cancel between the two samplers at the same
+# point), so a pair of equilibrium mobility probes extends the ladder a
+# rung with NO convergence-length chain. No absolute eff/s is quoted.
+MOBILITY_PAIRS = [
+    ("16m01b9", dict(L=16, beta=9),
+     "probe_b9_plain.json", "probe_b9_ft.json"),
+]
 
 
 def load_retimes(adir):
@@ -201,6 +216,38 @@ def main():
             who = "FT" if ratio > 1 else "plain"
             x = ratio if ratio > 1 else 1 / ratio
             print(f"{'':>8} -> verdict: {who} x{x:.2f} (+-{err:.2f} on "
+                  f"FT/plain={ratio:.2f})")
+        print()
+
+    for point, meta, plain_f, ft_f in MOBILITY_PAIRS:
+        pp, fp = (os.path.join(args.dir, f) for f in (plain_f, ft_f))
+        if not (os.path.exists(pp) and os.path.exists(fp)):
+            print(f"{point:>8} mobility pair -- missing: "
+                  f"{plain_f} / {ft_f}\n")
+            continue
+        best = {}
+        for side, path in (("plain", pp), ("FT", fp)):
+            d = json.load(open(path))
+            B, ntraj = d["args"]["chains"], d["args"]["ntraj"]
+            for r in d["rows"]:
+                rate = B * r["q_mobility"] / r["s_per_traj"]
+                # counting statistics: ~1 unit of |dQ| per tunneling
+                # event, N_events ~ mob * ntraj_timed * B
+                nev = max(r["q_mobility"] * ntraj * B, 1e-9)
+                rel = nev ** -0.5
+                print(f"{point:>8} {side:>5} "
+                      f"{'tau=%g n%d' % (r['tau_used'], r['nstep']):>22} "
+                      f"{r['acc']:>6.3f} {'mob/s=%.3e' % rate:>16} "
+                      f"(+-{100 * rel:.0f}% counting, {nev:.0f} events)")
+                if side not in best or rate > best[side][0]:
+                    best[side] = (rate, rel)
+        if "plain" in best and "FT" in best:
+            ratio = best["FT"][0] / best["plain"][0]
+            rel = (best["FT"][1] ** 2 + best["plain"][1] ** 2) ** 0.5
+            who = "FT" if ratio > 1 else "plain"
+            x = ratio if ratio > 1 else 1 / ratio
+            print(f"{'':>8} -> mobility-ratio verdict (chi- and r-free): "
+                  f"{who} x{x:.2f} (+-{100 * rel:.0f}% on "
                   f"FT/plain={ratio:.2f})")
         print()
 
