@@ -75,18 +75,24 @@ POINTS = [
              chain="schwinger_L32_b6_plain_t2n16.json"),
         dict(s="plain", note="tau=2 n10 B=64", nstep=10, tau=2.0,
              chain="schwinger_L32_b6_plain_t2n10.json"),
+        # 26-tau chain reads tau 25-30% low (this repo's own convergence
+        # study) -> printed for the record, excluded from the verdict
         dict(s="FT", note="ftb6 t=.5 n6 (26t)", nstep=6, tau=0.5,
-             chain="schwinger_L32_b6_ft_t05n6_ext.json"),
+             chain="schwinger_L32_b6_ft_t05n6_ext.json", superseded=True),
         dict(s="FT", note="ftb6 t=.5 n6 fresh", nstep=6, tau=0.5,
              chain="schwinger_L32_b6_ft_t05n6_ext2.json"),
     ]),
     ("64m01b6", dict(L=64, beta=6), [
+        # short first chains: superseded by the stage-10/10d extensions
+        # once those land (excluded from the verdict if the ext exists)
         dict(s="plain", note="tau=2 n16 B=64 (18t)", nstep=16, tau=2.0,
-             chain="schwinger_L64_b6_plain_t2n16.json"),
+             chain="schwinger_L64_b6_plain_t2n16.json",
+             superseded_by="schwinger_L64_b6_plain_t2n16_ext.json"),
         dict(s="plain", note="tau=2 n16 B=64 ext", nstep=16, tau=2.0,
              chain="schwinger_L64_b6_plain_t2n16_ext.json"),
         dict(s="FT", note="ftb6 t=.5 n16 (15t)", nstep=16, tau=0.5,
-             chain="schwinger_L64_b6_ft_t05n16.json"),
+             chain="schwinger_L64_b6_ft_t05n16.json",
+             superseded_by="schwinger_L64_b6_ft_t05n16_ext.json"),
         dict(s="FT", note="ftb6 t=.5 n16 ext", nstep=16, tau=0.5,
              chain="schwinger_L64_b6_ft_t05n16_ext.json"),
     ]),
@@ -106,6 +112,8 @@ PROBES = {  # (L, beta) -> stage-9 equilibrium probe artifacts
 # point), so a pair of equilibrium mobility probes extends the ladder a
 # rung with NO convergence-length chain. No absolute eff/s is quoted.
 MOBILITY_PAIRS = [
+    ("16m01b8", dict(L=16, beta=8),
+     "probe_b8_plain.json", "probe_b8_ft.json"),
     ("16m01b9", dict(L=16, beta=9),
      "probe_b9_plain.json", "probe_b9_ft.json"),
 ]
@@ -182,11 +190,17 @@ def main():
                 eff = r["n_chains"] / (2 * tau * spt)
                 eeff = eff * terr / tau
                 ntau = r.get("ntraj_used", 0) / tau
+                dead = row.get("superseded") or (
+                    row.get("superseded_by")
+                    and os.path.exists(
+                        os.path.join(args.dir, row["superseded_by"])))
                 print(f"{point:>8} {row['s']:>5} {row['note']:>22} "
                       f"{r['acc']:>6.3f} {tau:>9.1f}({terr:.1f})"
                       f"[{ntau:.0f}t] {r['chi_q']:>8.3f}({r['chi_q_err']:.3f})"
-                      f" {spt:>8.4f}({src[0]}) {eff:>7.2f}({eeff:.2f})")
-                effs.setdefault(row["s"], []).append((eff, eeff))
+                      f" {spt:>8.4f}({src[0]}) {eff:>7.2f}({eeff:.2f})"
+                      f"{' [superseded]' if dead else ''}")
+                if not dead:
+                    effs.setdefault(row["s"], []).append((eff, eeff))
             else:
                 mob_f, chi_f = row["est"]
                 mp, cp = (os.path.join(args.dir, f) for f in (mob_f, chi_f))
