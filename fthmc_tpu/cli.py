@@ -84,9 +84,11 @@ def cmd_hmc(args) -> dict:
         # domain decomposition: lattice ROW axis sharded, halo exchange via
         # ICI ppermute (parallel/domain.py) - for L beyond one chip's HBM
         from fthmc_tpu.hmc import TrajMetrics
-        from fthmc_tpu.parallel.domain import make_rows_mesh, run_domain_hmc
+        from fthmc_tpu.parallel.domain import (make_rows_mesh,
+                                               run_domain_hmc_chunked)
         assert rows <= jax.device_count(), (rows, jax.device_count())
-        x, hist_d = run_domain_hmc(make_rows_mesh(rows), cfg)
+        x, hist_d = run_domain_hmc_chunked(
+            make_rows_mesh(rows), cfg, block=min(cfg.ntraj, 256))
         hist = TrajMetrics(**{k: np.asarray(v) for k, v in hist_d.items()})
     elif mesh is not None:
         from fthmc_tpu.parallel.mesh import sharded_run_hmc
@@ -338,10 +340,14 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
         from fthmc_tpu.parallel.domain import make_rows_mesh
         from fthmc_tpu.parallel.domain_flow import run_domain_fthmc_chunked
         assert rows <= jax.device_count(), (rows, jax.device_count())
+        # the domain drivers stream history dicts; adapt to the TrajMetrics
+        # callback so progress/TB logging matches the other paths
+        cb_d = (lambda done, h: cb(done, TrajMetrics(
+            **{k: np.asarray(v) for k, v in h.items()})))
         z, hist_d = run_domain_fthmc_chunked(
             make_rows_mesh(rows), state.params, spec, lf, beta=args.beta,
             ntraj=args.ntraj, z0=z0, key=key,
-            block=min(args.ntraj, 256), callback=None)
+            block=min(args.ntraj, 256), callback=cb_d)
         hist = TrajMetrics(**{k: np.asarray(v) for k, v in hist_d.items()})
     elif mesh is not None:
         from fthmc_tpu.parallel.mesh import sharded_run_fthmc_chunked
@@ -395,9 +401,11 @@ def cmd_schwinger(args) -> dict:
         raise SystemExit("--hasenbusch-dm is implemented for plain "
                          "dynamical HMC (omit --ckpt)")
     ft = bool(args.ckpt)
+    mesh = _maybe_mesh(args)
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
-                f"nstep={cfg.nstep}")
+                f"nstep={cfg.nstep}"
+                + (f" [{mesh.devices.size} devices]" if mesh else ""))
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     if ft:
@@ -409,15 +417,26 @@ def cmd_schwinger(args) -> dict:
                 (cfg.n_chains, 2, cfg.L, cfg.L)), spec)
         else:
             z0 = lattice.hot_start(key, cfg.n_chains, cfg.L)
-        x, hist = run_fthmc_dyn_chunked(state.params, spec, cfg,
-                                        block=min(cfg.ntraj, args.block),
-                                        z0=z0, key=key)
+        if mesh is not None:
+            from fthmc_tpu.parallel.mesh import sharded_run_fthmc_dyn_chunked
+            x, hist = sharded_run_fthmc_dyn_chunked(
+                mesh, state.params, spec, cfg,
+                block=min(cfg.ntraj, args.block), z0=z0, key=key)
+        else:
+            x, hist = run_fthmc_dyn_chunked(state.params, spec, cfg,
+                                            block=min(cfg.ntraj, args.block),
+                                            z0=z0, key=key)
     else:
         x0 = (np.zeros((cfg.n_chains, 2, cfg.L, cfg.L), np.float32)
               if getattr(args, "start", "hot") == "cold" else None)
-        x, hist = run_hmc_dyn_chunked(
-            cfg, block=min(cfg.ntraj, args.block),
-            x0=None if x0 is None else jax.numpy.asarray(x0), key=key)
+        x0 = None if x0 is None else jax.numpy.asarray(x0)
+        if mesh is not None:
+            from fthmc_tpu.parallel.mesh import sharded_run_hmc_dyn_chunked
+            x, hist = sharded_run_hmc_dyn_chunked(
+                mesh, cfg, block=min(cfg.ntraj, args.block), x0=x0, key=key)
+        else:
+            x, hist = run_hmc_dyn_chunked(
+                cfg, block=min(cfg.ntraj, args.block), x0=x0, key=key)
     jax.block_until_ready(x)
     dt = time.time() - t0
     stats = _summarize_hmc(hist)

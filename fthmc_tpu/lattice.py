@@ -184,19 +184,22 @@ def batch_wilson_loops(x: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
 
 def polyakov_loop(x: jnp.ndarray, mu: int = 0) -> jnp.ndarray:
     """Volume-averaged Polyakov loop winding the mu direction of one
-    config: (2, L0, L1) -> complex scalar.
+    config: (2, L0, L1) -> real (2,) array [Re P, Im P].
 
-    P(y_perp) = exp(i sum_{y_mu} theta_mu(y)); returns mean_perp P. Gauge
+    P(y_perp) = exp(i sum_{y_mu} theta_mu(y)); returns mean_perp P as a
+    real pair (the axon TPU backend has no complex-op lowering outside
+    jit, so all complex observables ship in packed-real form). Gauge
     invariant (the transform telescopes around the winding cycle). Its
     modulus/correlators probe the static-charge free energy; a beyond-
     reference observable (the reference computes only plaquettes and Q).
     """
     theta = jnp.sum(x[mu], axis=mu)
-    return jnp.mean(jnp.exp(1j * theta.astype(jnp.complex64)))
+    return jnp.stack([jnp.mean(jnp.cos(theta)), jnp.mean(jnp.sin(theta))])
 
 
 def batch_polyakov_loops(x: jnp.ndarray, mu: int = 0) -> jnp.ndarray:
-    """(B, 2, L0, L1) -> complex (B,) volume-averaged Polyakov loop."""
+    """(B, 2, L0, L1) -> real (B, 2) volume-averaged Polyakov loops
+    packed as [Re P, Im P] per chain."""
     return jax.vmap(lambda y: polyakov_loop(y, mu))(x)
 
 

@@ -95,6 +95,19 @@ def _clip_s(s: jnp.ndarray, spec: FlowSpec) -> jnp.ndarray:
     return c * jnp.tanh(s / c)
 
 
+def plaq_net_split(net_out, spec: FlowSpec):
+    """Single source for the per-family conditioner channel split + s_clip:
+    (s, t) for ncp, (s, r, t) for rncp. Forward (plaq_transform_apply) and
+    reverse (_net_s_t / _net_s_r_t) paths both go through here so the
+    channel order and clip form cannot drift between them."""
+    if spec.coupling == "rncp":
+        M = spec.n_mixture
+        s, r, t = net_out[:, :M], net_out[:, M:2 * M], net_out[:, 2 * M]
+        return _clip_s(s, spec), r, t
+    s, t = net_out[:, :-1], net_out[:, -1]
+    return _clip_s(s, spec), t
+
+
 def plaq_transform_apply(net_out, plaq, active, spec: FlowSpec):
     """Active-plaquette transform from the raw conditioner output channels.
 
@@ -109,14 +122,11 @@ def plaq_transform_apply(net_out, plaq, active, spec: FlowSpec):
     """
     x1 = (active * plaq)[:, None]
     if spec.coupling == "rncp":
-        M = spec.n_mixture
-        s, r, t = net_out[:, :M], net_out[:, M:2 * M], net_out[:, 2 * M]
-        s = _clip_s(s, spec)
+        s, r, t = plaq_net_split(net_out, spec)
         local_logJ = active * rotated_mixture_logJ(x1, s, r)
         fx1 = rotated_mixture_transform(x1, s, r)
     elif spec.coupling == "ncp":
-        s, t = net_out[:, :-1], net_out[:, -1]
-        s = _clip_s(s, spec)
+        s, t = plaq_net_split(net_out, spec)
         local_logJ = active * mixture_tan_transform_logJ(x1, s)
         fx1 = active * mixture_tan_transform(x1, s)[:, 0]
     else:
@@ -141,11 +151,7 @@ def _net_s_t(net_params, frozen, plaq, spec: FlowSpec):
     compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
     out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation,
                          compute_dtype=compute_dtype)
-    s, t = out[:, :-1], out[:, -1]
-    if spec.s_clip is not None:
-        c = spec.s_clip
-        s = c * jnp.tanh(s / c)
-    return s, t
+    return plaq_net_split(out, spec)
 
 
 def plaq_coupling_forward(
@@ -255,16 +261,11 @@ def _net_s_r_t(net_params, frozen, plaq, spec: FlowSpec):
     """CNN -> (s (B,M,L,L), r (B,M,L,L), t (B,L,L)) for the rncp coupling.
     s_clip bounds the log-slopes as for NCP; rotations are unconstrained
     (periodic)."""
-    M = spec.n_mixture
     x2 = frozen * plaq
     compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
     out = conv_net_apply(net_params, stack_cos_sin(x2), spec.activation,
                          compute_dtype=compute_dtype)
-    s, r, t = out[:, :M], out[:, M:2 * M], out[:, 2 * M]
-    if spec.s_clip is not None:
-        c = spec.s_clip
-        s = c * jnp.tanh(s / c)
-    return s, r, t
+    return plaq_net_split(out, spec)
 
 
 def rncp_plaq_coupling_forward(

@@ -236,3 +236,37 @@ def run_domain_hmc(mesh: Mesh, cfg, *, x0=None, key=None,
     run = _domain_hmc_run_fn(mesh, axis, cfg.beta, cfg.dt, cfg.nstep,
                              cfg.ntraj)
     return run(key, x0)
+
+
+def run_domain_hmc_chunked(mesh: Mesh, cfg, *, block: int = 256,
+                           x0=None, key=None, callback=None,
+                           axis: str = "rows", dtype=jnp.float32):
+    """Blocked domain-decomposed HMC driver (bounded device-run length —
+    the production rule for long runs on this infra; one compile per block
+    size via the cached run fn). Returns (x_final sharded, history dict of
+    host numpy (ntraj, B) arrays)."""
+    import numpy as np
+    n_dev = mesh.devices.size
+    assert cfg.L % n_dev == 0, (cfg.L, n_dev)
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    if x0 is None:
+        if cfg.randinit:
+            key, k0 = jax.random.split(key)
+            x0 = lattice.hot_start(k0, cfg.n_chains, cfg.L, dtype)
+        else:
+            x0 = jnp.zeros((cfg.n_chains, 2, cfg.L, cfg.L), dtype)
+    x = jax.device_put(x0, NamedSharding(mesh, P(None, None, axis, None)))
+    blocks, done = [], 0
+    while done < cfg.ntraj:
+        n = min(block, cfg.ntraj - done)
+        key, krun = jax.random.split(key)
+        run = _domain_hmc_run_fn(mesh, axis, cfg.beta, cfg.dt, cfg.nstep, n)
+        x, hist = run(krun, x)
+        jax.block_until_ready(x)
+        blocks.append({k: np.asarray(v) for k, v in hist.items()})
+        done += n
+        if callback is not None:
+            callback(done, blocks[-1])
+    cat = {k: np.concatenate([b[k] for b in blocks]) for k in blocks[0]}
+    return x, cat

@@ -33,6 +33,7 @@ __all__ = ["make_chain_mesh", "shard_chains", "replicate",
            "sharded_run_hmc", "sharded_run_fthmc",
            "sharded_run_fthmc_chunked", "sharded_train_era",
            "sharded_run_hmc_dyn", "sharded_run_fthmc_dyn",
+           "sharded_run_hmc_dyn_chunked", "sharded_run_fthmc_dyn_chunked",
            "initialize_multihost"]
 
 
@@ -422,3 +423,73 @@ def sharded_run_fthmc_dyn(mesh: Mesh, params, spec, cfg, *, z0, key,
     params = replicate(mesh, params)
     run = _fthmc_dyn_run_fn(mesh, axis, spec, cfg, cfg.ntraj)
     return run(params, key, z0)
+
+
+def _concat_host(blocks):
+    import numpy as _np
+    from fthmc_tpu.hmc import TrajMetrics
+    return TrajMetrics(*[
+        _np.concatenate([_np.asarray(getattr(b, f)) for b in blocks])
+        for f in TrajMetrics._fields])
+
+
+def sharded_run_hmc_dyn_chunked(mesh: Mesh, cfg, *, block: int = 256,
+                                x0=None, key=None, axis: str = "chains",
+                                callback=None):
+    """Blocked multi-chip dynamical-fermion HMC (mirrors
+    schwinger.run_hmc_dyn_chunked: device executions stay short — the
+    production rule for long runs on this infra). One compile per block
+    size (cfg.ntraj is normalized out of the cache key). Returns
+    (x sharded, TrajMetrics as host numpy)."""
+    import dataclasses
+    n_dev = mesh.devices.size
+    assert cfg.n_chains % n_dev == 0, (cfg.n_chains, n_dev)
+    key = jax.random.PRNGKey(0) if key is None else key
+    if x0 is None:
+        x0 = lattice.hot_start(jax.random.fold_in(key, 7), cfg.n_chains,
+                               cfg.L)
+    xspec, _ = _chain_specs(axis)
+    x = jax.device_put(x0, NamedSharding(mesh, xspec))
+    left = cfg.ntraj
+    cfg = dataclasses.replace(cfg, ntraj=0)  # dead inside the scan
+    blocks, done = [], 0
+    while done < left:
+        n = min(block, left - done)
+        key, krun = jax.random.split(key)
+        x, h = _hmc_dyn_run_fn(mesh, axis, cfg, n)(krun, x)
+        jax.block_until_ready(x)
+        blocks.append(h)
+        done += n
+        if callback is not None:
+            callback(done, h)
+    return x, _concat_host(blocks)
+
+
+def sharded_run_fthmc_dyn_chunked(mesh: Mesh, params, spec, cfg, *,
+                                  block: int = 128, z0=None, key=None,
+                                  axis: str = "chains", callback=None):
+    """Blocked multi-chip dynamical-fermion FT-HMC (see
+    sharded_run_hmc_dyn_chunked); flow params replicated once."""
+    import dataclasses
+    n_dev = mesh.devices.size
+    key = jax.random.PRNGKey(0) if key is None else key
+    if z0 is None:
+        z0 = lattice.hot_start(jax.random.fold_in(key, 7), cfg.n_chains,
+                               cfg.L)
+    assert z0.shape[0] % n_dev == 0, (z0.shape, n_dev)
+    xspec, _ = _chain_specs(axis)
+    z = jax.device_put(z0, NamedSharding(mesh, xspec))
+    params = replicate(mesh, params)
+    left = cfg.ntraj
+    cfg = dataclasses.replace(cfg, ntraj=0)
+    blocks, done = [], 0
+    while done < left:
+        n = min(block, left - done)
+        key, krun = jax.random.split(key)
+        z, h = _fthmc_dyn_run_fn(mesh, axis, spec, cfg, n)(params, krun, z)
+        jax.block_until_ready(z)
+        blocks.append(h)
+        done += n
+        if callback is not None:
+            callback(done, h)
+    return z, _concat_host(blocks)

@@ -98,6 +98,11 @@ def _ensemble_scan(params, key, spec: FlowSpec, beta: float, L: int,
         kprop, kacc = jax.random.split(kb)
         xp, _, lqp = sample_and_logq(params, spec, kprop, batch * n_chains, L)
         lpp = -lattice.batch_action(xp, beta)
+        # charge of every proposal in ONE vectorized reduction; the serial
+        # scan then only SELECTS (post-accept charge = proposal's charge if
+        # accepted else the carried one) instead of re-reducing the lattice
+        # once per serial step
+        qpp = lattice.batch_charges(xp).reshape(batch, n_chains)
         xp = xp.reshape(batch, n_chains, *xp.shape[1:])
         lqp = lqp.reshape(batch, n_chains)
         lpp = lpp.reshape(batch, n_chains)
@@ -105,20 +110,20 @@ def _ensemble_scan(params, key, spec: FlowSpec, beta: float, L: int,
 
         def step(c, inp):
             x, lq, lp, q = c
-            xn, lqn, lpn, u = inp
+            xn, lqn, lpn, qpn, u = inp
             p_acc = jnp.exp((lpn - lqn) - (lp - lq))
             acc = u < jnp.minimum(p_acc, 1.0)
             x = jnp.where(acc[:, None, None, None], xn, x)
             lq = jnp.where(acc, lqn, lq)
             lp = jnp.where(acc, lpn, lp)
-            qn = lattice.batch_charges(x)
+            qn = jnp.where(acc, qpn, q)
             out = {"q": qn, "dqsq": (qn - q) ** 2, "logq": lq, "logp": lp,
                    "acc": acc.astype(x.dtype)}
             if keep_fields:
                 out["x"] = x
             return (x, lq, lp, qn), out
 
-        return jax.lax.scan(step, carry, (xp, lqp, lpp, us))
+        return jax.lax.scan(step, carry, (xp, lqp, lpp, qpp, us))
 
     keys = jax.random.split(kscan, nblocks)
     carry, hist = jax.lax.scan(block, (x0, lq0, lp0, q0), keys)

@@ -14,11 +14,17 @@ Algorithm (exact, standard 2-flavor pseudofermion HMC):
   2. integrate dx/dt = v, dv/dt = -dS/dx with
      S = S_gauge + phi^dag (D^dag D)^{-1} phi; the fermion force uses the
      gradient-exact variational form (fermion.pf_action_lin) around a CG
-     solve at tolerance cfg.cg_tol_force (optionally warm-started from the
-     previous step's solution — a chronological inverter; exactness of the
-     ALGORITHM rests on the Metropolis solve, which is always cold+tight);
+     solve at tolerance cfg.cg_tol_force, warm-started from the previous
+     step's solution when cfg.warm_start (a chronological inverter);
   3. Metropolis with dH = dK + dS_gauge + [S_pf(x1) - chi^dag chi], the end
-     S_pf from a cold CG solve at cfg.cg_tol_mh.
+     S_pf from a CG solve at the TIGHT tolerance cfg.cg_tol_mh (1e-9 vs the
+     force's 1e-7). With cfg.warm_start this accept solve is ALSO seeded
+     from the trajectory's last force solution — a detailed-balance
+     asymmetry bounded by cg_tol_mh, measured statistically invisible
+     (cold-solve A/B at the production point: identical acc/plaq/dH within
+     errors, BENCH.md round-3 "warm-start reversibility exonerated").
+     Strict detailed balance: cfg.warm_start=False (CLI --no-warm-start)
+     makes every solve cold, at ~10-20%% trajectory cost.
 
 The FT versions run the SAME dynamics in latent space z with
 S_eff(z) = S(T(z)) - log|det dT/dz|; the fermion force backpropagates

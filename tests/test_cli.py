@@ -129,3 +129,14 @@ def test_cli_schwinger_smoke(tmp_path):
     assert abs(out["exp_mdh"] - 1.0) < 0.5
     assert os.path.exists(os.path.join(str(tmp_path),
                                        "schwinger_history.npz"))
+
+
+def test_cli_schwinger_devices_smoke(tmp_path):
+    """--devices wires the sharded chunked dynamical drivers (round-3
+    review finding: it used to be silently ignored)."""
+    from fthmc_tpu.cli import main
+    out = main(["schwinger", "--L", "4", "--beta", "2.0", "--mass", "0.4",
+                "--ntraj", "4", "--chains", "8", "--nstep", "4",
+                "--block", "2", "--devices", "4", "--outdir", str(tmp_path)])
+    assert 0.0 <= out["acc"] <= 1.0
+    assert abs(out["exp_mdh"] - 1.0) < 0.5

@@ -99,3 +99,24 @@ def test_run_domain_hmc_whole_run_driver():
     # integer topological charge on the global lattice
     q = h["q"][t:]
     assert np.allclose(q, np.round(q), atol=1e-3)
+
+
+def test_run_domain_hmc_chunked_driver():
+    """Blocked domain driver (CLI --shard-rows path): same invariants as
+    the whole-run scan, device executions bounded at `block` trajectories
+    (the production rule for long runs on this infra)."""
+    from fthmc_tpu.config import HMCConfig
+    from fthmc_tpu.parallel.domain import (make_rows_mesh,
+                                           run_domain_hmc_chunked)
+    mesh = make_rows_mesh(8)
+    cfg = HMCConfig(beta=2.0, L=16, tau=1.0, nstep=16, ntraj=192,
+                    n_chains=8, randinit=True, seed=5)
+    seen = []
+    x, hist = run_domain_hmc_chunked(
+        mesh, cfg, block=64, callback=lambda done, h: seen.append(done))
+    assert seen == [64, 128, 192]
+    assert np.asarray(x).shape == (8, 2, 16, 16)
+    assert hist["acc"].shape == (192, 8)
+    t = 64
+    assert abs(hist["exp_mdh"][t:].mean() - 1.0) < 0.05
+    assert abs(hist["plaq"][t:].mean() - 0.69777) < 0.02

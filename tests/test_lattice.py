@@ -127,7 +127,8 @@ def test_polyakov_loop_gauge_invariant(x_batch):
 def test_polyakov_cold_start_is_one():
     x = lattice.cold_start(8)[None]
     p = np.asarray(lattice.batch_polyakov_loops(x))
-    np.testing.assert_allclose(p, 1.0 + 0.0j, atol=1e-6)
+    assert p.shape == (1, 2)  # packed [Re, Im] per chain (real, TPU-safe)
+    np.testing.assert_allclose(p, [[1.0, 0.0]], atol=1e-6)
 
 
 @pytest.mark.slow

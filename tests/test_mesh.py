@@ -181,3 +181,39 @@ def test_sharded_run_hmc_dyn_hasenbusch_mts():
     em = np.asarray(h.exp_mdh)
     assert abs(em.mean() - 1.0) < 0.1
     assert bool(np.all(np.isfinite(np.asarray(h.dh))))
+
+
+def test_sharded_run_hmc_dyn_chunked():
+    """Blocked multi-chip dynamical driver (CLI schwinger --devices path):
+    bounded device executions, host-concatenated metrics, exactness."""
+    from fthmc_tpu.parallel.mesh import sharded_run_hmc_dyn_chunked
+    from fthmc_tpu.schwinger import SchwingerConfig
+    cfg = SchwingerConfig(L=4, beta=2.0, mass=0.3, tau=0.5, nstep=8,
+                          n_chains=16, ntraj=12, cg_tol_force=1e-10,
+                          cg_tol_mh=1e-12, cg_maxiter=300)
+    mesh = make_chain_mesh()
+    seen = []
+    x, h = sharded_run_hmc_dyn_chunked(
+        mesh, cfg, block=5, key=jax.random.PRNGKey(2),
+        callback=lambda done, _: seen.append(done))
+    assert seen == [5, 10, 12]
+    assert h.acc.shape == (12, 16)
+    em = np.asarray(h.exp_mdh)
+    assert abs(em.mean() - 1.0) < 0.1
+    assert bool(np.all(np.isfinite(np.asarray(h.dh))))
+
+
+def test_sharded_run_fthmc_dyn_chunked(params2, spec2):
+    from fthmc_tpu.parallel.mesh import sharded_run_fthmc_dyn_chunked
+    from fthmc_tpu.schwinger import SchwingerConfig
+    cfg = SchwingerConfig(L=8, beta=2.0, mass=0.3, tau=0.25, nstep=8,
+                          n_chains=16, ntraj=8, cg_tol_force=1e-10,
+                          cg_tol_mh=1e-12, cg_maxiter=300)
+    mesh = make_chain_mesh()
+    z0 = jnp.zeros((16, 2, 8, 8), jnp.float32)
+    z, h = sharded_run_fthmc_dyn_chunked(mesh, params2, spec2, cfg,
+                                         block=4, z0=z0,
+                                         key=jax.random.PRNGKey(3))
+    assert h.acc.shape == (8, 16)
+    em = np.asarray(h.exp_mdh)[2:]
+    assert abs(em.mean() - 1.0) < 0.15
