@@ -37,7 +37,7 @@ timeout 2400 python experiments/schwinger_mts_scan.py \
   --chains 128 --ntraj 16384 --call-block 2048 \
   --cg-maxiter 1500 --cg-backend fused \
   --ft-state runs/schw_b8_ft/run_state.npz \
-  --row ft:4:0:$FLOW:tau=0.5 --row ft:6:0:$FLOW:tau=0.5
+  --row ft:4:0:$FLOW:tau=0.5 --row ft:3:0:$FLOW:tau=0.5
 echo "=== stage10a-ft exit $? ==="
 cp runs/schw_b9_ft_mob/scan.json \
    artifacts/round3/probe_b9_ft.json 2>/dev/null

@@ -112,10 +112,16 @@ PROBES = {  # (L, beta) -> stage-9 equilibrium probe artifacts
 # point), so a pair of equilibrium mobility probes extends the ladder a
 # rung with NO convergence-length chain. No absolute eff/s is quoted.
 MOBILITY_PAIRS = [
+    ("16m01b7", dict(L=16, beta=7),
+     "probe_b7_plain.json", "probe_b7_ft.json"),
     ("16m01b8", dict(L=16, beta=8),
      "probe_b8_plain.json", "probe_b8_ft.json"),
     ("16m01b9", dict(L=16, beta=9),
      "probe_b9_plain.json", "probe_b9_ft.json"),
+    ("32m01b6", dict(L=32, beta=6),
+     "probe_L32_plain.json", "probe_L32_ft.json"),
+    ("64m01b6", dict(L=64, beta=6),
+     "probe_L64_plain.json", "probe_L64_ft.json"),
 ]
 
 
