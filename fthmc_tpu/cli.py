@@ -380,6 +380,28 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
     return stats
 
 
+def _run_dyn_resilient(scan_fn, z0, cfg, key, args):
+    """Drive a dynamical scan through the resilient block+persist+resume
+    runner (fthmc_tpu/runner.py — the round-3 production pattern for the
+    flaky-worker infra). scan_fn(key, z, n, cfg) -> (z, TrajMetrics);
+    --state names the persistence file, crashes lose at most one block."""
+    import dataclasses
+
+    from fthmc_tpu.hmc import TrajMetrics
+    from fthmc_tpu.runner import run_resilient
+
+    # ntraj is dead inside the compiled scan (explicit n arg); zeroing it
+    # keeps one compile across resumed processes (chunked-driver rule)
+    cfg0 = dataclasses.replace(cfg, ntraj=0)
+    z, hist_d, info = run_resilient(
+        lambda k, z, n: scan_fn(k, z, n, cfg0), z0, key=key,
+        ntraj=cfg.ntraj, block=min(cfg.ntraj, args.block),
+        state_path=args.state, hist_fields=TrajMetrics._fields)
+    logger.log(f"resilient run: {info['done']} done, "
+               f"{info['retries']} retries, {info['wall_s']:.1f} s")
+    return z, TrajMetrics(**hist_d)
+
+
 def cmd_schwinger(args) -> dict:
     """Dynamical-fermion (two-flavor Schwinger model) sampler: plain HMC,
     or FT-HMC when --ckpt points at a flow (partial trivialization with a
@@ -402,6 +424,9 @@ def cmd_schwinger(args) -> dict:
                          "dynamical HMC (omit --ckpt)")
     ft = bool(args.ckpt)
     mesh = _maybe_mesh(args)
+    if getattr(args, "state", None) and mesh is not None:
+        raise SystemExit("--state (resilient resume) and --devices "
+                         "(sharded driver) are separate paths; pick one")
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
                 f"nstep={cfg.nstep}"
@@ -417,7 +442,13 @@ def cmd_schwinger(args) -> dict:
                 (cfg.n_chains, 2, cfg.L, cfg.L)), spec)
         else:
             z0 = lattice.hot_start(key, cfg.n_chains, cfg.L)
-        if mesh is not None:
+        if getattr(args, "state", None):
+            from fthmc_tpu.schwinger import _run_fthmc_dyn_scan
+            x, hist = _run_dyn_resilient(
+                lambda k, z, n, c: _run_fthmc_dyn_scan(state.params, spec,
+                                                       k, z, c, n),
+                z0, cfg, key, args)
+        elif mesh is not None:
             from fthmc_tpu.parallel.mesh import sharded_run_fthmc_dyn_chunked
             x, hist = sharded_run_fthmc_dyn_chunked(
                 mesh, state.params, spec, cfg,
@@ -430,7 +461,15 @@ def cmd_schwinger(args) -> dict:
         x0 = (np.zeros((cfg.n_chains, 2, cfg.L, cfg.L), np.float32)
               if getattr(args, "start", "hot") == "cold" else None)
         x0 = None if x0 is None else jax.numpy.asarray(x0)
-        if mesh is not None:
+        if getattr(args, "state", None):
+            from fthmc_tpu.schwinger import _run_hmc_dyn_scan
+            if x0 is None:
+                x0 = lattice.hot_start(jax.random.fold_in(key, 7),
+                                       cfg.n_chains, cfg.L)
+            x, hist = _run_dyn_resilient(
+                lambda k, z, n, c: _run_hmc_dyn_scan(k, z, c, n),
+                x0, cfg, key, args)
+        elif mesh is not None:
             from fthmc_tpu.parallel.mesh import sharded_run_hmc_dyn_chunked
             x, hist = sharded_run_hmc_dyn_chunked(
                 mesh, cfg, block=min(cfg.ntraj, args.block), x0=x0, key=key)
@@ -811,6 +850,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--condensate", action="store_true",
                     help="stochastic <psibar psi> on the final configs")
     sp.add_argument("--start", choices=["hot", "cold"], default="hot")
+    sp.add_argument("--state", type=str, default=None,
+                    help="persistence file (npz) for the resilient "
+                         "block+resume+watchdog runner: re-running the "
+                         "same command resumes at the last completed "
+                         "block (crashes lose at most --block "
+                         "trajectories); single-device path only")
     sp.add_argument("--cg-backend", choices=["xla", "fused", "mixed"],
                     default="xla",
                     help="fermion solver backend: fused = VMEM-resident "

@@ -131,6 +131,53 @@ def test_cli_schwinger_smoke(tmp_path):
                                        "schwinger_history.npz"))
 
 
+def test_cli_schwinger_state_resume(tmp_path):
+    """--state runs through the resilient runner and a re-invocation
+    resumes at the persisted block instead of restarting."""
+    import numpy as np
+
+    from fthmc_tpu.cli import main
+    sp = str(tmp_path / "run_state.npz")
+    argv = ["schwinger", "--L", "4", "--beta", "2.0", "--mass", "0.4",
+            "--chains", "2", "--nstep", "4", "--block", "4",
+            "--state", sp]
+    main(argv + ["--ntraj", "4"])
+    data = np.load(sp)
+    assert int(data["done"]) == 4
+    out = main(argv + ["--ntraj", "8", "--outdir", str(tmp_path)])
+    data = np.load(sp)
+    assert int(data["done"]) == 8
+    assert data["acc"].shape == (8, 2)
+    assert 0.0 <= out["acc"] <= 1.0
+    # --state + --devices is an explicit error, not a silent pick
+    import pytest
+    with pytest.raises(SystemExit):
+        main(argv + ["--ntraj", "4", "--devices", "2"])
+
+
+def test_cli_schwinger_state_ft(tmp_path):
+    """FT-HMC --state path (self-describing tiny checkpoint)."""
+    import jax
+    import numpy as np
+
+    from fthmc_tpu.checkpoint import save_checkpoint
+    from fthmc_tpu.cli import main
+    from fthmc_tpu.config import FlowSpec, TrainConfig
+    from fthmc_tpu.train import init_train_state
+    spec = FlowSpec(n_layers=2, n_mixture=2, hidden_sizes=(4,))
+    cfg = TrainConfig(L=4, beta=2.0, flow=spec)
+    st = init_train_state(jax.random.PRNGKey(0), cfg)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, st, era=0, epoch=0, spec=spec)
+    sp = str(tmp_path / "ft_state.npz")
+    out = main(["schwinger", "--L", "4", "--beta", "2.0", "--mass", "0.4",
+                "--ntraj", "4", "--chains", "2", "--nstep", "4",
+                "--block", "2", "--state", sp, "--ckpt", ck])
+    data = np.load(sp)
+    assert int(data["done"]) == 4
+    assert abs(out["exp_mdh"] - 1.0) < 0.5
+
+
 def test_cli_schwinger_devices_smoke(tmp_path):
     """--devices wires the sharded chunked dynamical drivers (round-3
     review finding: it used to be silently ignored)."""
