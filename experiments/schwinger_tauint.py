@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Resilient long Schwinger-model production runs for tau_int(Q).
 
-Same block+persist+retry pattern as tauint_run.py (the remote worker dies
-on long executions): runs plain dynamical HMC or FT-HMC (--ckpt) in small
+Thin harness over the packaged block+persist+resume+watchdog driver
+(fthmc_tpu.runner.run_resilient — the remote worker dies on long
+executions): runs plain dynamical HMC or FT-HMC (--ckpt) in small
 compiled blocks, persists (state, q history) after every block, resumes
-from the last good block on a crash.
+from the last good block on a crash. The state-file layout is the
+runner's, so runs started before the packaging resume unchanged.
 
 The headline round-3 capstone measurement: at (16^2, beta=5, m=0.1) the
 force is a CG solve, so the FT/plain cost ratio collapses from the
@@ -26,6 +28,7 @@ import numpy as np
 from fthmc_tpu import fermion, lattice
 from fthmc_tpu.checkpoint import load_checkpoint_auto
 from fthmc_tpu.observables import chain_stats
+from fthmc_tpu.runner import run_resilient
 from fthmc_tpu.schwinger import (SchwingerConfig, _run_fthmc_dyn_scan,
                                  _run_hmc_dyn_scan)
 
@@ -90,97 +93,49 @@ def main():
     key = jax.random.PRNGKey(20260817)
     state_path = os.path.join(args.out, "run_state.npz")
     if os.path.exists(state_path):
-        data = np.load(state_path)
-        z = jnp.asarray(data["z"])
-        hist = {k: list(data[k]) for k in ("acc", "plaq", "exp_mdh", "q")}
-        done = int(data["done"])
-        key = jnp.asarray(data["key"])
-        print(f"resuming at traj {done}", flush=True)
-    else:
-        if args.init_state is not None:
-            x = np.load(args.init_state)["z"]
-            if x.shape[0] < args.chains:
-                x = np.tile(x, (-(-args.chains // x.shape[0]), 1, 1, 1))
-            x = jnp.asarray(x[:args.chains])
-            if ft:
-                from fthmc_tpu.models.flow import flow_reverse
-                z, _ = flow_reverse(params, x, spec)
-            else:
-                z = x
-            print(f"thermalized init from {args.init_state}", flush=True)
-        elif args.start == "cold":
-            if ft:
-                from fthmc_tpu.models.flow import flow_reverse
-                z, _ = flow_reverse(params, jnp.zeros(
-                    (args.chains, 2, args.L, args.L)), spec)
-            else:
-                z = jnp.zeros((args.chains, 2, args.L, args.L), jnp.float32)
+        # z0/key here are placeholders; run_resilient resumes from the file
+        print(f"resuming at traj {int(np.load(state_path)['done'])}",
+              flush=True)
+        z = jnp.zeros((args.chains, 2, args.L, args.L), jnp.float32)
+    elif args.init_state is not None:
+        x = np.load(args.init_state)["z"]
+        if x.shape[0] < args.chains:
+            x = np.tile(x, (-(-args.chains // x.shape[0]), 1, 1, 1))
+        x = jnp.asarray(x[:args.chains])
+        if ft:
+            from fthmc_tpu.models.flow import flow_reverse
+            z, _ = flow_reverse(params, x, spec)
         else:
-            z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
-        hist = {"acc": [], "plaq": [], "exp_mdh": [], "q": []}
-        done = 0
-
-    # Watchdog: the axon TPU worker sometimes dies SILENTLY - the sync
-    # blocks forever instead of raising (observed repeatedly in round 3).
-    # SIGALRM bounds each block; the timeout scales with the first
-    # successful block's wall time (plus compile headroom on the first).
-    import signal
-
-    class BlockTimeout(Exception):
-        pass
-
-    def _alarm(signum, frame):
-        raise BlockTimeout("block wall-time watchdog fired")
-
-    signal.signal(signal.SIGALRM, _alarm)
+            z = x
+        print(f"thermalized init from {args.init_state}", flush=True)
+    elif args.start == "cold":
+        if ft:
+            from fthmc_tpu.models.flow import flow_reverse
+            z, _ = flow_reverse(params, jnp.zeros(
+                (args.chains, 2, args.L, args.L)), spec)
+        else:
+            z = jnp.zeros((args.chains, 2, args.L, args.L), jnp.float32)
+    else:
+        z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
 
     t0 = time.time()
-    traj_done_this_session = 0
-    block_wall = None
-    while done < args.ntraj:
-        n = min(args.block, args.ntraj - done)
-        key, krun = jax.random.split(key)
-        budget = (args.block_timeout if block_wall is None
-                  else min(args.block_timeout, int(6 * block_wall) + 60))
-        tb = time.time()
-        try:
-            signal.alarm(budget)
-            if ft:
-                z_new, h = _run_fthmc_dyn_scan(params, spec, krun, z, cfg, n)
-            else:
-                z_new, h = _run_hmc_dyn_scan(krun, z, cfg, n)
-            float(jnp.sum(z_new))  # real sync (axon tunnel)
-            signal.alarm(0)
-        except BlockTimeout:
-            signal.alarm(0)
-            print(f"  block at {done} HUNG (> {budget}s, silent worker "
-                  "death); retrying in 60 s", flush=True)
-            time.sleep(60)
-            continue
-        except Exception as e:
-            signal.alarm(0)
-            print(f"  block at {done} failed ({str(e)[:80]}); retrying "
-                  "in 30 s", flush=True)
-            time.sleep(30)
-            continue
-        block_wall = time.time() - tb
-        z = z_new
-        for k in hist:
-            hist[k].extend(np.asarray(getattr(h, k)))
-        done += n
-        traj_done_this_session += n
-        # uncompressed: the full-history re-save is O(ntraj) per block
-        # and compression made it the dominant cost late in long runs
-        np.savez(
-            state_path, z=np.asarray(z), done=done, key=np.asarray(key),
-            **{k: np.asarray(v) for k, v in hist.items()})
+
+    def scan_fn(krun, z, n):
+        if ft:
+            return _run_fthmc_dyn_scan(params, spec, krun, z, cfg, n)
+        return _run_hmc_dyn_scan(krun, z, cfg, n)
+
+    def progress(done, h):
         if done % (4 * args.block) == 0 or done == args.ntraj:
-            acc = np.asarray(hist["acc"])[-4 * args.block:].mean()
-            pl = np.asarray(hist["plaq"])[-args.block:].mean()
+            acc = float(np.asarray(h.acc).mean())
+            pl = float(np.asarray(h.plaq)[-1].mean())
             print(f"  traj {done}/{args.ntraj}: acc={acc:.3f} "
-                  f"plaq={pl:.5f} "
-                  f"({(time.time() - t0) / max(traj_done_this_session, 1):.3f}"
-                  " s/traj)", flush=True)
+                  f"plaq={pl:.5f}", flush=True)
+
+    z, hist, info = run_resilient(
+        scan_fn, z, key=key, ntraj=args.ntraj, block=args.block,
+        state_path=state_path, block_timeout=args.block_timeout,
+        on_block=progress)
 
     therm = int(args.ntraj * args.therm_frac)
     q = np.asarray(hist["q"])[therm:]
@@ -191,8 +146,7 @@ def main():
         "exp_mdh": float(np.asarray(hist["exp_mdh"])[therm:].mean()),
         "plaq": float(np.asarray(hist["plaq"])[therm:].mean()),
         "wall_s": time.time() - t0,
-        "s_per_traj": ((time.time() - t0) / traj_done_this_session
-                       if traj_done_this_session else float("nan")),
+        "s_per_traj": info["s_per_traj"],
         **chain_stats(q),
     }
     print(json.dumps(res, indent=1, default=str), flush=True)

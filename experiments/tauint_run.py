@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Resilient long FT-HMC production run for tau_int(Q) (16^2, beta >= 3).
 
-The remote TPU worker dies on single executions longer than ~5 minutes
-(round-1 infra note). This driver runs SMALL compiled blocks (~1-2 min of
-device time), persists (z, q history) after every block, and retries a
-block on worker errors - the chain resumes from the last good state, so a
-crash costs one block, not the run.
+Thin harness over fthmc_tpu.runner.run_resilient (block + persist +
+resume + watchdog): the remote TPU worker dies on single executions
+longer than ~5 minutes (round-1 infra note), so the chain advances in
+SMALL compiled blocks (~1-2 min of device time), persists (z, q history)
+after every block, and retries a block on worker errors/hangs - a crash
+costs one block, not the run.
 """
 import argparse
 import json
@@ -23,6 +24,7 @@ from fthmc_tpu.checkpoint import find_and_load_checkpoint
 from fthmc_tpu.config import FlowSpec, LeapfrogConfig, TrainConfig
 from fthmc_tpu.hmc import run_fthmc
 from fthmc_tpu.observables import chain_stats
+from fthmc_tpu.runner import run_resilient
 from fthmc_tpu.train import init_train_state
 
 
@@ -71,48 +73,30 @@ def main():
     key = jax.random.PRNGKey(4242)
     state_path = os.path.join(args.out, "run_state.npz")
     if os.path.exists(state_path):
-        data = np.load(state_path)
-        z = jax.numpy.asarray(data["z"])
-        hist = {k: list(data[k]) for k in ("acc", "plaq", "exp_mdh", "q")}
-        done = int(data["done"])
-        key = jax.numpy.asarray(data["key"])
-        print(f"resuming at traj {done}", flush=True)
+        # placeholder z0; run_resilient resumes (z, key, done) from the file
+        print(f"resuming at traj {int(np.load(state_path)['done'])}",
+              flush=True)
+        z = jax.numpy.zeros((args.chains, 2, args.L, args.L))
+    elif args.start == "cold":
+        from fthmc_tpu.models.flow import flow_reverse
+        z = flow_reverse(params, jax.numpy.zeros(
+            (args.chains, 2, args.L, args.L)), spec)[0]
     else:
-        if args.start == "cold":
-            from fthmc_tpu.models.flow import flow_reverse
-            z = flow_reverse(params, jax.numpy.zeros(
-                (args.chains, 2, args.L, args.L)), spec)[0]
-        else:
-            z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
-        hist = {"acc": [], "plaq": [], "exp_mdh": [], "q": []}
-        done = 0
+        z = lattice.hot_start(jax.random.PRNGKey(9), args.chains, args.L)
 
     t0 = time.time()
-    while done < args.ntraj:
-        n = min(args.block, args.ntraj - done)
-        key, krun = jax.random.split(key)
-        try:
-            z_new, h = run_fthmc(params, spec, lf, beta=args.beta, ntraj=n,
-                                 z0=z, key=krun,
-                                 integrator=args.integrator)
-            jax.block_until_ready(z_new)
-        except Exception as e:  # worker crash: wait, retry same block
-            print(f"  block at {done} failed ({str(e)[:80]}); retrying "
-                  "in 30 s", flush=True)
-            time.sleep(30)
-            continue
-        z = z_new
-        for k in hist:
-            hist[k].extend(np.asarray(getattr(h, k)))
-        done += n
-        np.savez_compressed(
-            state_path, z=np.asarray(z), done=done, key=np.asarray(key),
-            **{k: np.asarray(v) for k, v in hist.items()})
+
+    def progress(done, h):
         if done % (4 * args.block) == 0 or done == args.ntraj:
-            acc = np.asarray(hist["acc"])[-4 * args.block:].mean()
-            print(f"  traj {done}/{args.ntraj}: acc={acc:.3f} "
-                  f"({(time.time() - t0) / max(done, 1):.2f} s/traj)",
-                  flush=True)
+            print(f"  traj {done}/{args.ntraj}: "
+                  f"acc={float(np.asarray(h.acc).mean()):.3f}", flush=True)
+
+    z, hist, info = run_resilient(
+        lambda krun, z, n: run_fthmc(params, spec, lf, beta=args.beta,
+                                     ntraj=n, z0=z, key=krun,
+                                     integrator=args.integrator),
+        z, key=key, ntraj=args.ntraj, block=args.block,
+        state_path=state_path, on_block=progress)
 
     therm = int(args.ntraj * args.therm_frac)
     q = np.asarray(hist["q"])[therm:]
@@ -122,7 +106,7 @@ def main():
         "exp_mdh": float(np.asarray(hist["exp_mdh"])[therm:].mean()),
         "plaq": float(np.asarray(hist["plaq"])[therm:].mean()),
         "wall_s": time.time() - t0,
-        "s_per_traj": (time.time() - t0) / max(args.ntraj, 1),
+        "s_per_traj": info["s_per_traj"],
         **chain_stats(q),
     }
     print("FT-HMC:", json.dumps(res, indent=1, default=str), flush=True)
