@@ -120,6 +120,8 @@ MOBILITY_PAIRS = [
      "probe_b9_plain.json", "probe_b9_ft.json"),
     ("32m01b6", dict(L=32, beta=6),
      "probe_L32_plain.json", "probe_L32_ft.json"),
+    ("32m01b8", dict(L=32, beta=8),
+     "probe_L32b8_plain.json", "probe_L32b8_ft.json"),
     ("64m01b6", dict(L=64, beta=6),
      "probe_L64_plain.json", "probe_L64_ft.json"),
 ]
