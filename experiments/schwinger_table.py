@@ -111,19 +111,20 @@ PROBES = {  # (L, beta) -> stage-9 equilibrium probe artifacts
 # is chi_Q- and r-free (both cancel between the two samplers at the same
 # point), so a pair of equilibrium mobility probes extends the ladder a
 # rung with NO convergence-length chain. No absolute eff/s is quoted.
-MOBILITY_PAIRS = [
+MOBILITY_PAIRS = [  # (point, meta, [plain probe files], [ft probe files])
     ("16m01b7", dict(L=16, beta=7),
-     "probe_b7_plain.json", "probe_b7_ft.json"),
+     ["probe_b7_plain.json"], ["probe_b7_ft.json"]),
     ("16m01b8", dict(L=16, beta=8),
-     "probe_b8_plain.json", "probe_b8_ft.json"),
+     ["probe_b8_plain.json"], ["probe_b8_ft.json"]),
     ("16m01b9", dict(L=16, beta=9),
-     "probe_b9_plain.json", "probe_b9_ft.json"),
+     ["probe_b9_plain.json", "probe_b9_plain_n12.json"],
+     ["probe_b9_ft.json", "probe_b9_ft_n23.json"]),
     ("32m01b6", dict(L=32, beta=6),
-     "probe_L32_plain.json", "probe_L32_ft.json"),
+     ["probe_L32_plain.json"], ["probe_L32_ft.json"]),
     ("32m01b8", dict(L=32, beta=8),
-     "probe_L32b8_plain.json", "probe_L32b8_ft.json"),
+     ["probe_L32b8_plain.json"], ["probe_L32b8_ft.json"]),
     ("64m01b6", dict(L=64, beta=6),
-     "probe_L64_plain.json", "probe_L64_ft.json"),
+     ["probe_L64_plain.json"], ["probe_L64_ft.json"]),
 ]
 
 
@@ -241,28 +242,31 @@ def main():
                   f"FT/plain={ratio:.2f})")
         print()
 
-    for point, meta, plain_f, ft_f in MOBILITY_PAIRS:
-        pp, fp = (os.path.join(args.dir, f) for f in (plain_f, ft_f))
-        if not (os.path.exists(pp) and os.path.exists(fp)):
+    for point, meta, plain_fs, ft_fs in MOBILITY_PAIRS:
+        paths = {side: [os.path.join(args.dir, f) for f in fs
+                        if os.path.exists(os.path.join(args.dir, f))]
+                 for side, fs in (("plain", plain_fs), ("FT", ft_fs))}
+        if not (paths["plain"] and paths["FT"]):
             print(f"{point:>8} mobility pair -- missing: "
-                  f"{plain_f} / {ft_f}\n")
+                  f"{plain_fs} / {ft_fs}\n")
             continue
         best = {}
-        for side, path in (("plain", pp), ("FT", fp)):
-            d = json.load(open(path))
-            B, ntraj = d["args"]["chains"], d["args"]["ntraj"]
-            for r in d["rows"]:
-                rate = B * r["q_mobility"] / r["s_per_traj"]
-                # counting statistics: ~1 unit of |dQ| per tunneling
-                # event, N_events ~ mob * ntraj_timed * B
-                nev = max(r["q_mobility"] * ntraj * B, 1e-9)
-                rel = nev ** -0.5
-                print(f"{point:>8} {side:>5} "
-                      f"{'tau=%g n%d' % (r['tau_used'], r['nstep']):>22} "
-                      f"{r['acc']:>6.3f} {'mob/s=%.3e' % rate:>16} "
-                      f"(+-{100 * rel:.0f}% counting, {nev:.0f} events)")
-                if side not in best or rate > best[side][0]:
-                    best[side] = (rate, rel)
+        for side, side_paths in paths.items():
+            for path in side_paths:
+                d = json.load(open(path))
+                B, ntraj = d["args"]["chains"], d["args"]["ntraj"]
+                for r in d["rows"]:
+                    rate = B * r["q_mobility"] / r["s_per_traj"]
+                    # counting statistics: ~1 unit of |dQ| per tunneling
+                    # event, N_events ~ mob * ntraj_timed * B
+                    nev = max(r["q_mobility"] * ntraj * B, 1e-9)
+                    rel = nev ** -0.5
+                    print(f"{point:>8} {side:>5} "
+                          f"{'tau=%g n%d' % (r['tau_used'], r['nstep']):>22}"
+                          f" {r['acc']:>6.3f} {'mob/s=%.3e' % rate:>16} "
+                          f"(+-{100 * rel:.0f}% counting, {nev:.0f} events)")
+                    if side not in best or rate > best[side][0]:
+                        best[side] = (rate, rel)
         if "plain" in best and "FT" in best:
             ratio = best["FT"][0] / best["plain"][0]
             rel = (best["FT"][1] ** 2 + best["plain"][1] ** 2) ** 0.5
