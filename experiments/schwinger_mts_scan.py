@@ -168,6 +168,11 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
                q_mobility=float(np.mean(
                    np.abs(np.diff(np.asarray(h.q), axis=0)) ** 2)),
                s_per_traj=wall / ntraj, wall_s=wall)
+    # the timed segment starts from an equilibrated state: therm_frac=0
+    from fthmc_tpu.diagnostics import sanity_report
+    rep = sanity_report(h, therm_frac=0.0)
+    if not rep["ok"]:
+        row["sanity_flags"] = rep["flags"]
     rows.append(row)
     print(json.dumps(row), flush=True)
     with open(os.path.join(args.out, "scan.json"), "w") as f:

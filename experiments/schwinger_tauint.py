@@ -149,6 +149,10 @@ def main():
         "s_per_traj": info["s_per_traj"],
         **chain_stats(q),
     }
+    from fthmc_tpu.diagnostics import sanity_report
+    rep = sanity_report(hist, therm_frac=args.therm_frac)
+    if not rep["ok"]:
+        res["sanity_flags"] = rep["flags"]
     print(json.dumps(res, indent=1, default=str), flush=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(res, f, indent=2, default=str)

@@ -42,7 +42,8 @@ from fthmc_tpu.utils.logger import Logger, MetricsWriter
 logger = Logger()
 
 
-def _summarize_hmc(hist, therm_frac: float = 0.25) -> dict:
+def _summarize_hmc(hist, therm_frac: float = 0.25,
+                   plaq_ref: float | None = None) -> dict:
     n = hist.plaq.shape[0]
     t = int(n * therm_frac)
     cs = chain_stats(np.asarray(hist.q)[t:])
@@ -56,6 +57,12 @@ def _summarize_hmc(hist, therm_frac: float = 0.25) -> dict:
         "tau_int_q": cs["tau_int_q"],
         "tau_int_q_err": cs["tau_int_q_err"],
     }
+    from fthmc_tpu.diagnostics import sanity_report
+    rep = sanity_report(hist, plaq_ref=plaq_ref, therm_frac=therm_frac)
+    if not rep["ok"]:
+        out["sanity_flags"] = rep["flags"]
+        for f in rep["flags"]:
+            logger.log(f"SANITY: {f}")
     return out
 
 
@@ -120,7 +127,7 @@ def cmd_hmc(args) -> dict:
             integrator=getattr(args, "integrator", "leapfrog"))
     jax.block_until_ready(x)
     dt = time.time() - t0
-    stats = _summarize_hmc(hist)
+    stats = _summarize_hmc(hist, plaq_ref=lattice.PLAQ_EXACT.get(cfg.beta))
     if cfg.nrun > 1 and mesh is None:
         t = int(runs.plaq.shape[1] * 0.25)
         per_run = np.asarray(runs.plaq)[:, t:].mean(axis=(1, 2))
@@ -367,7 +374,8 @@ def cmd_fthmc(args, state=None, spec=None) -> dict:
     dt = time.time() - t0
     if tb is not None:
         tb.close()
-    stats = _summarize_hmc(hist)
+    stats = _summarize_hmc(hist,
+                           plaq_ref=lattice.PLAQ_EXACT.get(args.beta))
     stats["s_per_traj"] = dt / args.ntraj
     logger.print_metrics(stats)
     if args.outdir:

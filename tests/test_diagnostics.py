@@ -104,3 +104,68 @@ def test_live_joint_plot_headless(tmp_path):
     # 2D (chain-axis) histories are averaged, longer series still render
     lp.update(np.tile(np.asarray(loss)[:, None], (1, 4)), ess)
     lp.close()
+
+
+# ---------------------------------------------------------------- sanity
+
+
+def _healthy_hist(n=400, B=8, seed=0, plaq0=0.91236):
+    rng = np.random.default_rng(seed)
+    return {
+        "acc": (rng.random((n, B)) < 0.8).astype(np.float32),
+        "plaq": plaq0 + 0.002 * rng.standard_normal((n, B)),
+        "exp_mdh": 1.0 + 0.05 * rng.standard_normal((n, B)),
+    }
+
+
+def test_sanity_report_healthy():
+    from fthmc_tpu.diagnostics import sanity_report
+    rep = sanity_report(_healthy_hist(), plaq_ref=0.91236)
+    assert rep["ok"], rep["flags"]
+    assert rep["stats"]["plaq_ref_pull"] < 5
+
+
+def test_sanity_report_acceptance_collapse():
+    # The round-3 session-9 incident class: acc == 0, fields frozen at the
+    # ordered start, plaq pinned at 1 (BENCH.md retraction).
+    from fthmc_tpu.diagnostics import sanity_report
+    h = _healthy_hist()
+    h["acc"] = np.zeros_like(h["acc"])
+    h["plaq"] = np.ones_like(h["plaq"])
+    rep = sanity_report(h, plaq_ref=0.91236)
+    assert not rep["ok"]
+    assert any(f.startswith("acceptance-collapse") for f in rep["flags"])
+    assert any(f.startswith("plaq-mismatch") for f in rep["flags"])
+
+
+def test_sanity_report_drift():
+    from fthmc_tpu.diagnostics import sanity_report
+    h = _healthy_hist()
+    n = h["plaq"].shape[0]
+    # monotone relaxation toward equilibrium across the whole window
+    h["plaq"] += np.linspace(0.05, 0.0, n)[:, None]
+    rep = sanity_report(h)
+    assert any(f.startswith("plaq-drift") for f in rep["flags"])
+
+
+def test_sanity_report_nonfinite_and_mdh():
+    from fthmc_tpu.diagnostics import sanity_report
+    h = _healthy_hist()
+    h["exp_mdh"] = h["exp_mdh"] + 2.0       # far from 1
+    rep = sanity_report(h)
+    assert any(f.startswith("exp_mdh-off") for f in rep["flags"])
+    h2 = _healthy_hist()
+    h2["plaq"][3, 2] = np.nan
+    rep2 = sanity_report(h2)
+    assert "nonfinite:plaq" in rep2["flags"]
+
+
+def test_sanity_report_namedtuple_and_single_chain():
+    # TrajMetrics-style NamedTuple access + (ntraj,) single-chain arrays
+    from collections import namedtuple
+    from fthmc_tpu.diagnostics import sanity_report
+    H = namedtuple("H", ["acc", "plaq", "exp_mdh"])
+    h = _healthy_hist(B=1)
+    rep = sanity_report(H(h["acc"][:, 0], h["plaq"][:, 0],
+                          h["exp_mdh"][:, 0]))
+    assert rep["ok"], rep["flags"]  # single chain: drift/ref checks skip
