@@ -74,6 +74,12 @@ def main():
                    help="run_state.npz with a thermalized plain chain")
     p.add_argument("--ft-state", default=None,
                    help="run_state.npz with a thermalized FT latent chain")
+    p.add_argument("--conv-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="override the flow's conv compute dtype (bf16 "
+                        "A/B: the FT force is flow-VJP-bound at volume; "
+                        "changing the dtype changes WHICH flow runs, but "
+                        "MH exactness holds - BENCH round-2 bf16 notes)")
     p.add_argument("--row", action="append", required=True)
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -95,6 +101,10 @@ def main():
     def get_flow(ckpt):
         if ckpt not in flows:
             st, meta, spec, _ = load_checkpoint_auto(ckpt)
+            if args.conv_dtype:
+                import dataclasses
+                spec = dataclasses.replace(spec,
+                                           conv_dtype=args.conv_dtype)
             flows[ckpt] = (jax.device_get(st.params), spec)
         params, spec = flows[ckpt]
         return jax.device_put(params), spec
