@@ -28,6 +28,49 @@ import os
 
 R_BAND = (1.7, 1.9, 2.1)   # mobility-relation coefficient (lo, mid, hi)
 
+
+# ---- verdict arithmetic (pure; tested in tests/test_ladder_math.py) ----
+
+def eff_per_s(n_chains, tau_int, s_per_traj):
+    """Effective topological samples per wall-second for a chain row."""
+    return n_chains / (2.0 * tau_int * s_per_traj)
+
+
+def mobility_rate(row, n_chains, ntraj):
+    """(B*mob/s, counting rel-err, n_events) for an equilibrium probe row.
+
+    Counting statistics: ~1 unit of |dQ|^2 per tunneling event, so
+    N_events ~ mob/traj * ntraj * B and the relative error is
+    N_events^-1/2."""
+    rate = n_chains * row["q_mobility"] / row["s_per_traj"]
+    nev = max(row["q_mobility"] * ntraj * n_chains, 1e-9)
+    return rate, nev ** -0.5, nev
+
+
+def relation_tau_band(chi_q, mobility, r_band=R_BAND):
+    """tau_int band from the calibrated mobility relation
+    tau ~ r * chi_Q / mobility (r = 1.9 +- 0.2 on >=30-tau chains)."""
+    return [r * chi_q / mobility for r in r_band]
+
+
+def ratio_verdict(ft, plain):
+    """Verdict from two (value, rel_err) pairs: (who, factor, FT/plain
+    ratio, rel_err of the ratio). rel errs combine in quadrature."""
+    ratio = ft[0] / plain[0]
+    rel = (ft[1] ** 2 + plain[1] ** 2) ** 0.5
+    who = "FT" if ratio > 1 else "plain"
+    return who, (ratio if ratio > 1 else 1.0 / ratio), ratio, rel
+
+
+def chain_verdict(best_ft, best_plain):
+    """Verdict from two (eff, abs_err) pairs: (who, factor, FT/plain
+    ratio, abs_err of the ratio)."""
+    ratio = best_ft[0] / best_plain[0]
+    err = ratio * ((best_plain[1] / best_plain[0]) ** 2
+                   + (best_ft[1] / best_ft[0]) ** 2) ** 0.5
+    who = "FT" if ratio > 1 else "plain"
+    return who, (ratio if ratio > 1 else 1.0 / ratio), ratio, err
+
 # point -> list of row dicts:
 #   chain: direct tau_int artifact
 #   est:   (mobility artifact, chi_Q artifact) for a relation-estimated row
@@ -198,7 +241,7 @@ def main():
                 r = json.load(open(path))
                 spt, src = best_timing(timings.get(key), r["s_per_traj"])
                 tau, terr = r["tau_int_q"], r["tau_int_q_err"]
-                eff = r["n_chains"] / (2 * tau * spt)
+                eff = eff_per_s(r["n_chains"], tau, spt)
                 eeff = eff * terr / tau
                 ntau = r.get("ntraj_used", 0) / tau
                 dead = row.get("superseded") or (
@@ -221,11 +264,10 @@ def main():
                     continue
                 m, c = json.load(open(mp)), json.load(open(cp))
                 spt, src = best_timing(timings.get(key), m["s_per_traj"])
-                taus = [r * c["chi_q"] / m["q_mobility_dt1"]
-                        for r in R_BAND]
-                eff = m["n_chains"] / (2 * taus[1] * spt)
-                lo = m["n_chains"] / (2 * taus[2] * spt)
-                hi = m["n_chains"] / (2 * taus[0] * spt)
+                taus = relation_tau_band(c["chi_q"], m["q_mobility_dt1"])
+                eff = eff_per_s(m["n_chains"], taus[1], spt)
+                lo = eff_per_s(m["n_chains"], taus[2], spt)
+                hi = eff_per_s(m["n_chains"], taus[0], spt)
                 print(f"{point:>8} {row['s']:>5} {row['note']:>22} "
                       f"{m['acc']:>6.3f} {taus[1]:>8.0f}"
                       f"[{taus[0]:.0f}-{taus[2]:.0f}] "
@@ -233,13 +275,8 @@ def main():
                       f" {spt:>8.4f}({src[0]}) {eff:>7.2f}[{lo:.2f}-{hi:.2f}]")
                 effs.setdefault(row["s"], []).append((eff, (hi - lo) / 2))
         if effs.get("plain") and effs.get("FT"):
-            bp = max(effs["plain"])
-            bf = max(effs["FT"])
-            ratio = bf[0] / bp[0]
-            err = ratio * ((bp[1] / bp[0]) ** 2
-                           + (bf[1] / bf[0]) ** 2) ** 0.5
-            who = "FT" if ratio > 1 else "plain"
-            x = ratio if ratio > 1 else 1 / ratio
+            who, x, ratio, err = chain_verdict(max(effs["FT"]),
+                                               max(effs["plain"]))
             print(f"{'':>8} -> verdict: {who} x{x:.2f} (+-{err:.2f} on "
                   f"FT/plain={ratio:.2f})")
         print()
@@ -258,11 +295,7 @@ def main():
                 d = json.load(open(path))
                 B, ntraj = d["args"]["chains"], d["args"]["ntraj"]
                 for r in d["rows"]:
-                    rate = B * r["q_mobility"] / r["s_per_traj"]
-                    # counting statistics: ~1 unit of |dQ| per tunneling
-                    # event, N_events ~ mob * ntraj_timed * B
-                    nev = max(r["q_mobility"] * ntraj * B, 1e-9)
-                    rel = nev ** -0.5
+                    rate, rel, nev = mobility_rate(r, B, ntraj)
                     print(f"{point:>8} {side:>5} "
                           f"{'tau=%g n%d' % (r['tau_used'], r['nstep']):>22}"
                           f" {r['acc']:>6.3f} {'mob/s=%.3e' % rate:>16} "
@@ -270,10 +303,7 @@ def main():
                     if side not in best or rate > best[side][0]:
                         best[side] = (rate, rel)
         if "plain" in best and "FT" in best:
-            ratio = best["FT"][0] / best["plain"][0]
-            rel = (best["FT"][1] ** 2 + best["plain"][1] ** 2) ** 0.5
-            who = "FT" if ratio > 1 else "plain"
-            x = ratio if ratio > 1 else 1 / ratio
+            who, x, ratio, rel = ratio_verdict(best["FT"], best["plain"])
             print(f"{'':>8} -> mobility-ratio verdict (chi- and r-free): "
                   f"{who} x{x:.2f} (+-{100 * rel:.0f}% on "
                   f"FT/plain={ratio:.2f})")
