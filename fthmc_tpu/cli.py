@@ -435,6 +435,10 @@ def cmd_schwinger(args) -> dict:
     if getattr(args, "state", None) and mesh is not None:
         raise SystemExit("--state (resilient resume) and --devices "
                          "(sharded driver) are separate paths; pick one")
+    if ft and (getattr(args, "shard_rows", 1) or 1) > 1:
+        raise SystemExit("--shard-rows supports plain dynamical HMC (the "
+                         "domain_flow + domain_fermion composition is not "
+                         "wired); use --devices for FT chain-dp")
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
                 f"nstep={cfg.nstep}"
@@ -469,7 +473,25 @@ def cmd_schwinger(args) -> dict:
         x0 = (np.zeros((cfg.n_chains, 2, cfg.L, cfg.L), np.float32)
               if getattr(args, "start", "hot") == "cold" else None)
         x0 = None if x0 is None else jax.numpy.asarray(x0)
-        if getattr(args, "state", None):
+        rows = getattr(args, "shard_rows", 1) or 1
+        if rows > 1:
+            # domain-decomposed dynamical HMC: lattice rows sharded through
+            # the Dirac operator + CG (parallel/domain_fermion.py) - for
+            # dynamical lattices beyond one chip's HBM
+            from fthmc_tpu.hmc import TrajMetrics
+            from fthmc_tpu.parallel.domain import make_rows_mesh
+            from fthmc_tpu.parallel.domain_fermion import (
+                run_domain_hmc_dyn_chunked)
+            assert rows <= jax.device_count(), (rows, jax.device_count())
+            if mesh is not None or getattr(args, "state", None):
+                raise SystemExit("--shard-rows is its own parallel path; "
+                                 "drop --devices/--state")
+            x, hist_d = run_domain_hmc_dyn_chunked(
+                make_rows_mesh(rows), cfg, block=min(cfg.ntraj, args.block),
+                x0=x0, key=key)
+            hist = TrajMetrics(**{k: np.asarray(v)
+                                  for k, v in hist_d.items()})
+        elif getattr(args, "state", None):
             from fthmc_tpu.schwinger import _run_hmc_dyn_scan
             if x0 is None:
                 x0 = lattice.hot_start(jax.random.fold_in(key, 7),
@@ -724,8 +746,9 @@ def build_parser() -> argparse.ArgumentParser:
                         dest="shard_rows",
                         help="domain decomposition: shard the lattice ROW "
                              "axis over this many devices (halo exchange "
-                             "over ICI; hmc/fthmc only, leapfrog). For L "
-                             "beyond one chip's HBM; L %% shard_rows == 0")
+                             "over ICI; hmc/fthmc leapfrog + plain "
+                             "schwinger). For L beyond one chip's HBM; "
+                             "L %% shard_rows == 0")
 
     def flow_args(sp, restore: bool = False):
         """Flow-architecture flags. restore=True (sample/fthmc) defaults
