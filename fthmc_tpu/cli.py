@@ -435,10 +435,10 @@ def cmd_schwinger(args) -> dict:
     if getattr(args, "state", None) and mesh is not None:
         raise SystemExit("--state (resilient resume) and --devices "
                          "(sharded driver) are separate paths; pick one")
-    if ft and (getattr(args, "shard_rows", 1) or 1) > 1:
-        raise SystemExit("--shard-rows supports plain dynamical HMC (the "
-                         "domain_flow + domain_fermion composition is not "
-                         "wired); use --devices for FT chain-dp")
+    if (getattr(args, "shard_rows", 1) or 1) > 1 and (
+            mesh is not None or getattr(args, "state", None)):
+        raise SystemExit("--shard-rows is its own parallel path; "
+                         "drop --devices/--state")
     logger.rule(f"{'FT-' if ft else ''}HMC Schwinger {cfg.L}x{cfg.L} "
                 f"beta={cfg.beta} m={cfg.mass} tau={cfg.tau} "
                 f"nstep={cfg.nstep}"
@@ -454,7 +454,21 @@ def cmd_schwinger(args) -> dict:
                 (cfg.n_chains, 2, cfg.L, cfg.L)), spec)
         else:
             z0 = lattice.hot_start(key, cfg.n_chains, cfg.L)
-        if getattr(args, "state", None):
+        rows = getattr(args, "shard_rows", 1) or 1
+        if rows > 1:
+            # domain-decomposed dynamical FT-HMC: rows sharded through the
+            # flow (domain_flow) AND the Dirac/CG (domain_fermion)
+            from fthmc_tpu.hmc import TrajMetrics
+            from fthmc_tpu.parallel.domain import make_rows_mesh
+            from fthmc_tpu.parallel.domain_fermion import (
+                run_domain_fthmc_dyn_chunked)
+            assert rows <= jax.device_count(), (rows, jax.device_count())
+            x, hist_d = run_domain_fthmc_dyn_chunked(
+                make_rows_mesh(rows), state.params, spec, cfg,
+                block=min(cfg.ntraj, args.block), z0=z0, key=key)
+            hist = TrajMetrics(**{k: np.asarray(v)
+                                  for k, v in hist_d.items()})
+        elif getattr(args, "state", None):
             from fthmc_tpu.schwinger import _run_fthmc_dyn_scan
             x, hist = _run_dyn_resilient(
                 lambda k, z, n, c: _run_fthmc_dyn_scan(state.params, spec,
@@ -483,9 +497,6 @@ def cmd_schwinger(args) -> dict:
             from fthmc_tpu.parallel.domain_fermion import (
                 run_domain_hmc_dyn_chunked)
             assert rows <= jax.device_count(), (rows, jax.device_count())
-            if mesh is not None or getattr(args, "state", None):
-                raise SystemExit("--shard-rows is its own parallel path; "
-                                 "drop --devices/--state")
             x, hist_d = run_domain_hmc_dyn_chunked(
                 make_rows_mesh(rows), cfg, block=min(cfg.ntraj, args.block),
                 x0=x0, key=key)
@@ -746,8 +757,8 @@ def build_parser() -> argparse.ArgumentParser:
                         dest="shard_rows",
                         help="domain decomposition: shard the lattice ROW "
                              "axis over this many devices (halo exchange "
-                             "over ICI; hmc/fthmc leapfrog + plain "
-                             "schwinger). For L beyond one chip's HBM; "
+                             "over ICI; hmc/fthmc leapfrog + schwinger "
+                             "plain/FT). For L beyond one chip's HBM; "
                              "L %% shard_rows == 0")
 
     def flow_args(sp, restore: bool = False):

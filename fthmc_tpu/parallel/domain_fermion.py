@@ -30,6 +30,11 @@ gauge theta (B, 2, L0/n, L1), spinors psi (B, L0/n, L1, 2) complex):
 MTS (n_inner) and Hasenbusch are not sharded here (both measured
 unprofitable at the volumes a single chip holds, BENCH.md round 3; they
 would compose the same way if a target regime ever wants them).
+
+The FT (flowed) dynamical sampler composes this module with
+parallel/domain_flow.py: ONE flow VJP carries the gauge stencil, logdet,
+and fermion cotangents back to latent space (schwinger.ft_dyn_force,
+row-sharded) — see ft_dyn_force_sharded / run_domain_fthmc_dyn_chunked.
 """
 from __future__ import annotations
 
@@ -52,7 +57,8 @@ __all__ = ["dirac_sharded", "dirac_dag_sharded", "apply_mdagm_sharded",
            "cg_solve_sharded", "pf_refresh_sharded",
            "pf_action_exact_sharded", "pf_action_lin_sharded",
            "dyn_force_sharded", "make_domain_hmc_dyn_step",
-           "run_domain_hmc_dyn_chunked"]
+           "run_domain_hmc_dyn_chunked", "ft_dyn_force_sharded",
+           "run_domain_fthmc_dyn_chunked"]
 
 
 def _roll_rows_c(a: jnp.ndarray, shift: int, axis_name: str) -> jnp.ndarray:
@@ -344,6 +350,157 @@ def _domain_hmc_dyn_run_fn(mesh: Mesh, axis: str, cfg, ntraj: int):
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(), xspec), out_specs=(xspec, mspec),
         check_vma=False))
+
+
+def ft_dyn_force_sharded(params, spec, z, cfg, phi, x_guess, L0: int,
+                         axis_name: str, remat: bool = True):
+    """dS_eff/dz for the row-sharded dynamical theory: ONE flow VJP
+    carries gauge stencil + logdet + fermion cotangents back to latent
+    space (schwinger.ft_dyn_force composed with domain_flow). The
+    differentiation target is the LOCAL shard contribution (reduce=False
+    forward, local action terms) — the domain_flow double-count rule.
+    Returns (force_z, cg_solution)."""
+    from fthmc_tpu.parallel.domain import plaq_phase_sharded
+    from fthmc_tpu.parallel.domain_flow import flow_forward_sharded
+
+    (x, logdet_local), vjp = jax.vjp(
+        lambda zz: flow_forward_sharded(params, zz, spec, L0, axis_name,
+                                        remat=remat, reduce=False), z)
+    res = cg_solve_sharded(lax.stop_gradient(x), phi, cfg.mass, x_guess,
+                           tol=cfg.cg_tol_force, maxiter=cfg.cg_maxiter,
+                           eo=cfg.eo_precond, axis_name=axis_name)
+
+    def s_x(xx):
+        sg = -cfg.beta * jnp.sum(
+            jnp.cos(plaq_phase_sharded(xx, axis_name)), axis=(1, 2))
+        sf = _pf_action_lin_local(xx, phi, res.x, cfg.mass, cfg.eo_precond,
+                                  axis_name)
+        return jnp.sum(sg + sf)
+
+    gx = jax.grad(s_x)(x)
+    gz, = vjp((gx, -jnp.ones_like(logdet_local)))
+    return gz, res.x
+
+
+def _domain_fthmc_dyn_step_local(params, key, z, q_old, cfg, spec, L0: int,
+                                 axis: str, remat: bool = True):
+    """One row-sharded dynamical FT-HMC trajectory (shard-local program;
+    mirrors schwinger.fthmc_step_dyn — pseudofermion heatbath on the
+    PHYSICAL field y = T(z))."""
+    from fthmc_tpu.parallel.domain import plaq_phase_sharded
+    from fthmc_tpu.parallel.domain_flow import flow_forward_sharded
+    from fthmc_tpu.schwinger import leapfrog_aux, omelyan_aux
+
+    kv, kp, ka = jax.random.split(key, 3)
+    idx = lax.axis_index(axis)
+    v0 = jax.random.normal(jax.random.fold_in(kv, idx), z.shape, z.dtype)
+
+    y0, logdet0 = flow_forward_sharded(params, z, spec, L0, axis,
+                                       remat=remat)
+    phi, s_pf0 = pf_refresh_sharded(kp, y0, cfg.mass, eo=cfg.eo_precond,
+                                    axis_name=axis)
+
+    def force_fn(zz, x_guess):
+        guess = x_guess if cfg.warm_start else jnp.zeros_like(phi)
+        return ft_dyn_force_sharded(params, spec, zz, cfg, phi, guess,
+                                    L0, axis, remat)
+
+    integ = omelyan_aux if cfg.integrator == "omelyan" else leapfrog_aux
+    z1, v1, x_sol = integ(z, v0, cfg.dt, cfg.nstep, force_fn,
+                          jnp.zeros_like(phi))
+    z1 = lattice.wrap(z1)
+    y1, logdet1 = flow_forward_sharded(params, z1, spec, L0, axis,
+                                       remat=remat)
+
+    s_pf1, _ = pf_action_exact_sharded(
+        y1, phi, cfg.mass, tol=cfg.cg_tol_mh, maxiter=cfg.cg_maxiter,
+        x0=x_sol if cfg.warm_start else None, eo=cfg.eo_precond,
+        axis_name=axis)
+    dsw = -cfg.beta * lax.psum(
+        jnp.sum(jnp.cos(plaq_phase_sharded(y1, axis))
+                - jnp.cos(plaq_phase_sharded(y0, axis)), axis=(1, 2)),
+        axis)
+    dk = 0.5 * lax.psum(
+        jnp.sum(((v1 - v0) * (v1 + v0)).reshape(z.shape[0], -1), axis=-1),
+        axis)
+    dh = dsw + (s_pf1 - s_pf0) - (logdet1 - logdet0) + dk
+    exp_mdh = jnp.exp(-dh)
+    acc = jax.random.uniform(ka, dh.shape, dh.dtype) < exp_mdh
+    accb = acc[:, None, None, None]
+    z_new = jnp.where(accb, z1, z)
+    y_new = jnp.where(accb, y1, y0)
+    q_new = topo_charge_sharded(y_new, axis)
+    metrics = {
+        "dh": dh, "exp_mdh": exp_mdh, "acc": acc.astype(z.dtype),
+        "plaq": plaq_mean_sharded(y_new, axis), "q": q_new,
+        "dq": jnp.abs(q_new - q_old),
+    }
+    return z_new, q_new, metrics
+
+
+@lru_cache(maxsize=None)
+def _domain_fthmc_dyn_run_fn(mesh: Mesh, axis: str, spec, cfg, ntraj: int,
+                             L0: int, remat: bool):
+    """Cached compiled scan of ntraj row-sharded dynamical FT-HMC
+    trajectories."""
+    from fthmc_tpu.parallel.domain_flow import flow_forward_sharded
+    zspec = P(None, None, axis, None)
+    mspec = {k: P() for k in ("dh", "exp_mdh", "acc", "plaq", "q", "dq")}
+
+    def local(params, key, z0):
+        y0, _ = flow_forward_sharded(params, z0, spec, L0, axis,
+                                     remat=remat)
+        q0 = topo_charge_sharded(y0, axis)
+
+        def body(carry, k):
+            z, q = carry
+            z, q, m = _domain_fthmc_dyn_step_local(params, k, z, q, cfg,
+                                                   spec, L0, axis,
+                                                   remat=remat)
+            return (z, q), m
+
+        keys = jax.random.split(key, ntraj)
+        (z, _), hist = jax.lax.scan(body, (z0, q0), keys)
+        return z, hist
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), zspec),
+        out_specs=(zspec, mspec), check_vma=False))
+
+
+def run_domain_fthmc_dyn_chunked(mesh: Mesh, params, spec, cfg, *,
+                                 block: int = 32, z0=None, key=None,
+                                 callback=None, axis: str = "rows",
+                                 remat: bool = True):
+    """Blocked row-sharded dynamical FT-HMC driver. cfg is a
+    schwinger.SchwingerConfig; the latent chain state z is row-sharded and
+    the flow params replicated. Returns (z_final sharded, history dict of
+    host numpy (ntraj, B) arrays)."""
+    import numpy as np
+    n_dev = mesh.devices.size
+    _check_cfg(cfg, n_dev)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if z0 is None:
+        z0 = lattice.hot_start(jax.random.fold_in(key, 7), cfg.n_chains,
+                               cfg.L)
+    z = jax.device_put(z0, NamedSharding(mesh, P(None, None, axis, None)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    run_cfg = dataclasses.replace(cfg, ntraj=0)
+    blocks, done = [], 0
+    while done < cfg.ntraj:
+        n = min(block, cfg.ntraj - done)
+        key, krun = jax.random.split(key)
+        run = _domain_fthmc_dyn_run_fn(mesh, axis, spec, run_cfg, n,
+                                       cfg.L, remat)
+        z, hist = run(params, krun, z)
+        jax.block_until_ready(z)
+        blocks.append({k: np.asarray(v) for k, v in hist.items()})
+        done += n
+        if callback is not None:
+            callback(done, blocks[-1])
+    cat = {k: np.concatenate([b[k] for b in blocks]) for k in blocks[0]}
+    return z, cat
 
 
 def run_domain_hmc_dyn_chunked(mesh: Mesh, cfg, *, block: int = 64,
