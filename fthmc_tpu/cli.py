@@ -421,6 +421,12 @@ def cmd_schwinger(args) -> dict:
     from fthmc_tpu.schwinger import (SchwingerConfig, run_fthmc_dyn_chunked,
                                      run_hmc_dyn_chunked)
     fermion.set_cg_backend(args.cg_backend)
+    if (getattr(args, "shard_rows", 1) or 1) > 1 and \
+            args.cg_backend != "xla":
+        logger.log("note: --shard-rows uses the sharded XLA-stencil CG "
+                   "(the fused VMEM kernels are single-device programs); "
+                   f"--cg-backend {args.cg_backend} applies only to "
+                   "non-sharded stages")
     cfg = SchwingerConfig(
         L=args.L, beta=args.beta, mass=args.mass, tau=args.tau,
         nstep=args.nstep, n_chains=args.chains, ntraj=args.ntraj,
