@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--ckpt", default="artifacts/flow8x8_b3_rncp24_ftb6",
                     help="flow checkpoint for the FT-HMC leg (skipped if "
                          "missing)")
+    ap.add_argument("--shard-rows", type=int, default=1,
+                    help="also run the domain-decomposed plain chain over "
+                         "this many devices (skipped if too few)")
     args = ap.parse_args()
     fermion.set_cg_backend(args.cg_backend)
     L, ntraj, chains = args.L, (64 if args.quick else 512), \
@@ -113,6 +116,34 @@ def main():
               f"|{p_plain:.5f} - {p_ft:.5f}| = {abs(p_plain - p_ft):.1e}")
     else:
         print(f"(no flow checkpoint at {args.ckpt}; FT-HMC leg skipped)")
+
+    if args.shard_rows > 1:
+        # domain decomposition: the same physics with the lattice ROW axis
+        # sharded through the Dirac operator and the CG (halo exchange +
+        # psum dots; parallel/domain_fermion.py). Needs >= shard_rows
+        # devices — on a single TPU chip test with the virtual CPU mesh
+        # (JAX_PLATFORMS handled by jax.config in tests/conftest.py).
+        if jax.device_count() < args.shard_rows:
+            print(f"(--shard-rows {args.shard_rows}: only "
+                  f"{jax.device_count()} devices; leg skipped)")
+        elif L % args.shard_rows or (L // args.shard_rows) % 2:
+            print(f"(--shard-rows {args.shard_rows}: needs an even "
+                  f"number of rows per shard at L={L}; leg skipped)")
+        else:
+            from fthmc_tpu.parallel.domain import make_rows_mesh
+            from fthmc_tpu.parallel.domain_fermion import (
+                run_domain_hmc_dyn_chunked)
+            from fthmc_tpu.hmc import TrajMetrics
+            xd, hd = run_domain_hmc_dyn_chunked(
+                make_rows_mesh(args.shard_rows), cfg,
+                block=min(ntraj, 128), key=jax.random.PRNGKey(3))
+            p_dom, _ = summarize(f"plain HMC rows/{args.shard_rows}",
+                                 TrajMetrics(**{k: np.asarray(v)
+                                                for k, v in hd.items()}),
+                                 therm)
+            print(f"sharded-vs-single <plaq> agreement: "
+                  f"|{p_plain:.5f} - {p_dom:.5f}| = "
+                  f"{abs(p_plain - p_dom):.1e}")
     print("demo OK")
 
 
