@@ -37,6 +37,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None,
                    help="flow checkpoint -> FT-HMC; omit for plain HMC")
+    p.add_argument("--conv-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override the flow's conv dtype (bfloat16 is the "
+                        "measured production recipe at L >= 64)")
     p.add_argument("--out", required=True)
     p.add_argument("--L", type=int, default=16)
     p.add_argument("--beta", type=float, default=5.0)
@@ -87,8 +91,12 @@ def main():
     ft = args.ckpt is not None
     if ft:
         state_f, meta, spec, _ = load_checkpoint_auto(args.ckpt)
+        if args.conv_dtype:
+            import dataclasses
+            spec = dataclasses.replace(spec, conv_dtype=args.conv_dtype)
         params = state_f.params
-        print(f"flow restored: {spec.coupling} x{spec.n_layers}", flush=True)
+        print(f"flow restored: {spec.coupling} x{spec.n_layers} "
+              f"(conv {spec.conv_dtype})", flush=True)
 
     key = jax.random.PRNGKey(20260817)
     state_path = os.path.join(args.out, "run_state.npz")
