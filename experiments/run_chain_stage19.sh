@@ -48,4 +48,20 @@ for TRY in 1 2 3; do
 done
 cp runs/t64_ft_bf16/results.json \
    artifacts/round3/schwinger_L64_b6_ft_bf16_t05n16.json 2>/dev/null
+sleep 30
+
+echo "=== C) 64^2 beta=8 FT mobility rows (stage-16F2 retry) ==="
+# The stage-16F2 attempt died silently on the worker (53 min blocked in a
+# device sync, no row written). Retry with the bf16 recipe (25% cheaper at
+# this volume) and call-block 16 (shorter device programs, more sync
+# points). Completes the 64^2 beta=8 pair whose plain side landed.
+timeout 3600 python experiments/schwinger_mts_scan.py \
+  --out runs/schw_L64b8_ft_mob2 --L 64 --beta 8 --mass 0.1 \
+  --chains 32 --ntraj 256 --call-block 16 \
+  --cg-maxiter 2000 --cg-backend fused --conv-dtype bfloat16 \
+  --ft-state runs/st64_ft/run_state.npz \
+  --row ft:12:0:$FLOW:tau=0.5 --row ft:8:0:$FLOW:tau=0.5
+echo "=== C exit $? ==="
+cp runs/schw_L64b8_ft_mob2/scan.json \
+   artifacts/round3/probe_L64b8_ft.json 2>/dev/null
 echo "=== stage 19 done ==="
