@@ -166,6 +166,8 @@ MOBILITY_PAIRS = [  # (point, meta, [plain probe files], [ft probe files])
      ["probe_L32_plain.json"], ["probe_L32_ft.json"]),
     ("32m01b8", dict(L=32, beta=8),
      ["probe_L32b8_plain.json"], ["probe_L32b8_ft.json"]),
+    ("32m01b9", dict(L=32, beta=9),
+     ["probe_L32b9_plain.json"], ["probe_L32b9_ft.json"]),
     ("64m01b6", dict(L=64, beta=6),
      ["probe_L64_plain.json"], ["probe_L64_ft.json"]),
     ("64m01b8", dict(L=64, beta=8),
