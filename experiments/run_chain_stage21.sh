@@ -1,4 +1,7 @@
 #!/bin/bash
+# SUPERSEDED by run_chain_stage21b.sh: --call-block 1024 below crashed
+# this class of VM 3/3 at 32^2 (CLAUDE.md: start new VMs at cb<=256).
+# Kept for the record; do not re-run as-is.
 # Stage 21 (round-3 session-11): the 32^2 beta=9 mobility pair, COLD-START
 # edition. Stage-18A was queued with warm beta=6 states (runs/st32_*), but
 # the VM recycled before it ran and the state files died with it. The

@@ -14,6 +14,10 @@ if [ -n "${WAIT_PID:-}" ]; then
   sleep 90
 fi
 
+# scan.json is written incrementally: a stale file from an earlier attempt
+# would silently skip the xla fallback and get copied as fresh data.
+rm -f runs/schw_L32b9_plain_mob/scan.json
+
 echo "=== 32^2 beta=9 plain mobility retry (cold, n12, cb256 fused) ==="
 timeout 1800 python experiments/schwinger_mts_scan.py \
   --out runs/schw_L32b9_plain_mob --L 32 --beta 9 --mass 0.1 \

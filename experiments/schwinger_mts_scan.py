@@ -80,6 +80,19 @@ def main():
                         "A/B: the FT force is flow-VJP-bound at volume; "
                         "changing the dtype changes WHICH flow runs, but "
                         "MH exactness holds - BENCH round-2 bf16 notes)")
+    p.add_argument("--therm", type=int, default=None,
+                   help="untimed cold-start thermalization trajectories "
+                        "(default: a full ntraj pass — the conservative "
+                        "round-3 protocol; mobility is a local rate, so "
+                        "shorter therm is fine once plaq has settled)")
+    p.add_argument("--min-events", type=float, default=0,
+                   help="statistics floor: auto-extend the timed segment "
+                        "until >= this many tunneling events (BENCH.md "
+                        "lesson: <50-event rows carry 20-30%% Poisson "
+                        "noise and must not become verdicts)")
+    p.add_argument("--max-extra-wall", type=float, default=0,
+                   help="wall budget (s) for the --min-events extension, "
+                        "per row")
     p.add_argument("--row", action="append", required=True)
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -141,6 +154,8 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
     # drivers pay too (conservative).
     cb = min(args.call_block, args.ntraj)
     nseg = -(-args.ntraj // cb)
+    ntherm = args.ntraj if args.therm is None else args.therm
+    nseg_therm = -(-ntherm // cb) if ntherm > 0 else 0
 
     if ft:
         params, spec = get_flow(r["ckpt"])
@@ -157,26 +172,50 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
         def seg(state, k):
             return _run_hmc_dyn_scan(k, state, cfg, cb)
 
-    def run(state, k0, timed):
+    def run(state, k0, n_segments, timed):
         hs, t0 = [], time.time()
-        for j in range(nseg):
+        for j in range(n_segments):
             state, h = seg(state, jax.random.fold_in(k0, j))
             float(jnp.sum(state))   # sync (block_until_ready unreliable)
             if timed:
                 hs.append(h)
         return state, hs, time.time() - t0
 
-    state, _, _ = run(state, jax.random.fold_in(key, 1), False)
-    state, hs, wall = run(state, key, True)
+    state, _, _ = run(state, jax.random.fold_in(key, 1), nseg_therm, False)
+    state, hs, wall = run(state, key, nseg, True)
+
+    def mob_events(hs):
+        q = np.concatenate([np.asarray(h.q) for h in hs])
+        mob = float(np.mean(np.abs(np.diff(q, axis=0)) ** 2))
+        return mob, mob * len(q) * q.shape[1]
+
+    # statistics-floor auto-extension (round-4): keep adding timed
+    # call-blocks until the tunneling-event count clears --min-events or
+    # the --max-extra-wall budget is spent. Low-count rows are flagged
+    # valid=false either way (schwinger_table.py refuses to turn them
+    # into verdicts).
+    mob, nev = mob_events(hs)
+    j_ext, wall_ext = 0, 0.0
+    while (args.min_events > 0 and nev < args.min_events
+           and wall_ext < args.max_extra_wall):
+        state, hs2, w2 = run(
+            state, jax.random.fold_in(jax.random.fold_in(key, 2), j_ext),
+            1, True)
+        hs.extend(hs2)
+        wall += w2
+        wall_ext += w2
+        j_ext += 1
+        mob, nev = mob_events(hs)
+
     h = jax.tree.map(lambda *a: np.concatenate(
         [np.asarray(x) for x in a]), *hs)
-    ntraj = nseg * cb
+    ntraj = len(hs) * cb
     row = dict(**r, tau_used=tau,
                acc=float(np.asarray(h.acc).mean()),
                exp_mdh=float(np.asarray(h.exp_mdh).mean()),
                plaq=float(np.asarray(h.plaq).mean()),
-               q_mobility=float(np.mean(
-                   np.abs(np.diff(np.asarray(h.q), axis=0)) ** 2)),
+               q_mobility=mob, ntraj_timed=ntraj, n_events=nev,
+               valid=bool(args.min_events <= 0 or nev >= args.min_events),
                s_per_traj=wall / ntraj, wall_s=wall)
     # the timed segment starts from an equilibrated state: therm_frac=0
     from fthmc_tpu.diagnostics import sanity_report

@@ -41,9 +41,13 @@ def mobility_rate(row, n_chains, ntraj):
 
     Counting statistics: ~1 unit of |dQ|^2 per tunneling event, so
     N_events ~ mob/traj * ntraj * B and the relative error is
-    N_events^-1/2."""
+    N_events^-1/2. Rows written by the round-4 harness carry their exact
+    timed-trajectory count (auto-extension makes args.ntraj a floor, not
+    the truth)."""
     rate = n_chains * row["q_mobility"] / row["s_per_traj"]
-    nev = max(row["q_mobility"] * ntraj * n_chains, 1e-9)
+    ntraj = row.get("ntraj_timed", ntraj)
+    nev = max(row.get("n_events",
+                      row["q_mobility"] * ntraj * n_chains), 1e-9)
     return rate, nev ** -0.5, nev
 
 
@@ -220,6 +224,11 @@ def best_timing(timings, spt_run):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dir", default="artifacts/round3")
+    p.add_argument("--min-events", type=float, default=50,
+                   help="statistics floor for mobility-pair verdicts "
+                        "(BENCH.md convergence lesson); rows below it or "
+                        "flagged valid=false print but cannot decide a "
+                        "rung. 0 = override (flagged as such).")
     args = p.parse_args()
     timings = load_retimes(args.dir)
     for k, v in load_probes(args.dir).items():
@@ -291,17 +300,23 @@ def main():
             print(f"{point:>8} mobility pair -- missing: "
                   f"{plain_fs} / {ft_fs}\n")
             continue
-        best = {}
+        best, excluded = {}, []
         for side, side_paths in paths.items():
             for path in side_paths:
                 d = json.load(open(path))
                 B, ntraj = d["args"]["chains"], d["args"]["ntraj"]
                 for r in d["rows"]:
                     rate, rel, nev = mobility_rate(r, B, ntraj)
+                    ok = (r.get("valid", True)
+                          and nev >= args.min_events)
                     print(f"{point:>8} {side:>5} "
                           f"{'tau=%g n%d' % (r['tau_used'], r['nstep']):>22}"
                           f" {r['acc']:>6.3f} {'mob/s=%.3e' % rate:>16} "
-                          f"(+-{100 * rel:.0f}% counting, {nev:.0f} events)")
+                          f"(+-{100 * rel:.0f}% counting, {nev:.0f} events)"
+                          f"{'' if ok else ' [below floor]'}")
+                    if not ok:
+                        excluded.append((side, rate))
+                        continue
                     if side not in best or rate > best[side][0]:
                         best[side] = (rate, rel)
         if "plain" in best and "FT" in best:
@@ -309,6 +324,11 @@ def main():
             print(f"{'':>8} -> mobility-ratio verdict (chi- and r-free): "
                   f"{who} x{x:.2f} (+-{100 * rel:.0f}% on "
                   f"FT/plain={ratio:.2f})")
+        elif excluded:
+            print(f"{'':>8} -> verdict WITHHELD: no row with >= "
+                  f"{args.min_events:.0f} events on "
+                  f"{[s for s in ('plain', 'FT') if s not in best]} "
+                  f"(--min-events 0 to override)")
         print()
 
 

@@ -268,19 +268,9 @@ def _net_s_r_t(net_params, frozen, plaq, spec: FlowSpec):
     return plaq_net_split(out, spec)
 
 
-def rncp_plaq_coupling_forward(
-    net_params, plaq: jnp.ndarray, mu: int, off: int, spec: FlowSpec
-) -> CouplingOut:
-    shape = tuple(plaq.shape[-2:])
-    frozen, active, passive = (jnp.asarray(m, plaq.dtype)
-                               for m in plaq_masks(shape, mu, off))
-    compute_dtype = (jnp.bfloat16 if spec.conv_dtype == "bfloat16" else None)
-    net_out = conv_net_apply(net_params, stack_cos_sin(frozen * plaq),
-                             spec.activation, compute_dtype=compute_dtype)
-    fx1, local_logJ, t = plaq_transform_apply(net_out, plaq, active, spec)
-    logJ = jnp.sum(local_logJ, axis=(1, 2))
-    fx = active * wrap_pi(fx1 + t) + passive * plaq + frozen * plaq
-    return CouplingOut(fx, logJ)
+# The forward body is coupling-family-agnostic: plaq_transform_apply
+# dispatches on spec.coupling, so NCP and rncp share plaq_coupling_forward.
+rncp_plaq_coupling_forward = plaq_coupling_forward
 
 
 def rncp_plaq_coupling_reverse(
@@ -374,8 +364,6 @@ def spline_plaq_coupling_reverse(
 def plaq_transform_forward(net_params, plaq, mu, off, spec: FlowSpec):
     if spec.coupling == "spline":
         return spline_plaq_coupling_forward(net_params, plaq, mu, off, spec)
-    if spec.coupling == "rncp":
-        return rncp_plaq_coupling_forward(net_params, plaq, mu, off, spec)
     return plaq_coupling_forward(net_params, plaq, mu, off, spec)
 
 

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["run_resilient", "BlockTimeout"]
+__all__ = ["run_resilient", "BlockTimeout", "run_queue", "queue_status",
+           "load_queue", "stage_status"]
 
 
 class BlockTimeout(Exception):
@@ -128,3 +129,173 @@ def run_resilient(step_fn: Callable, z0, *, key, ntraj: int, block: int,
             "s_per_traj": wall / advanced if advanced else float("nan"),
             "retries": retries}
     return z, {k: np.asarray(v) for k, v in hist.items()}, info
+
+
+# ---------------------------------------------------------------------------
+# Declarative stage queue (round-4): one master that survives VM recycles.
+#
+# Round-3 lost three experiment stages to VM recycles because each stage
+# lived in an ad-hoc `setsid nohup bash run_chain_stageN.sh` chained on a
+# PID: a recycled VM forgot what had finished and what was queued. The
+# queue makes the experiment plan DATA (a JSON file, committed with the
+# repo) and completion DURABLE (marker files + copied artifacts): a killed
+# VM resumes with the one command
+#
+#     python -m fthmc_tpu.runner --queue experiments/queue_round4.json
+#
+# skipping every stage whose marker (or declared artifact) already exists.
+#
+# Stage schema (JSON object per stage):
+#   name         unique id; marker file is <marker_dir>/<name>.done
+#   cmd          argv list (run from the repo root, inherits env)
+#   timeout      outer wall bound, seconds (default 3600) — the child
+#                harnesses carry their own SIGALRM block watchdogs; this
+#                is the last-resort reaper
+#   artifacts    list of [src, dst] copies performed on success (dst dirs
+#                are created); the stage FAILS if a src is missing
+#   done_when    optional path: if it exists and is non-empty the stage is
+#                considered already complete (lets pre-queue manual runs
+#                count); the .done marker is then backfilled
+#   clean        list of paths removed before every attempt (the stage-21b
+#                lesson: incremental scan.json files from a dead attempt
+#                poison the retry)
+#   retries      re-runs after failure/timeout (default 1), retry_sleep
+#                seconds between (default 90 — axon worker recovery time)
+#   cooldown     sleep after success (default 30: let the worker settle
+#                between device-heavy stages)
+#   continue_on_fail  default true: record <name>.failed and move on
+#                (later stages usually probe different cells); false
+#                aborts the queue.
+# No reference counterpart: nftqcd/fthmc has no experiment infra at all.
+
+def _now() -> str:
+    return time.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def load_queue(path: str) -> dict:
+    import json
+    with open(path) as f:
+        q = json.load(f)
+    names = [s["name"] for s in q["stages"]]
+    if len(names) != len(set(names)):
+        raise ValueError(f"duplicate stage names in {path}")
+    for s in q["stages"]:
+        if not isinstance(s.get("cmd"), list):
+            raise ValueError(f"stage {s.get('name')}: cmd must be an argv list")
+    q.setdefault("marker_dir", "artifacts/queue_markers")
+    return q
+
+
+def stage_status(q: dict, stage: dict) -> str:
+    """'done' | 'failed' | 'pending' from durable on-disk state."""
+    mdir = q["marker_dir"]
+    if os.path.exists(os.path.join(mdir, stage["name"] + ".done")):
+        return "done"
+    dw = stage.get("done_when")
+    if dw and os.path.exists(dw) and os.path.getsize(dw) > 0:
+        return "done"
+    if os.path.exists(os.path.join(mdir, stage["name"] + ".failed")):
+        return "failed"
+    return "pending"
+
+
+def _run_stage_once(stage: dict, log_path: str) -> bool:
+    import subprocess
+    for p in stage.get("clean", []):
+        if os.path.exists(p):
+            os.remove(p)
+    timeout = stage.get("timeout", 3600)
+    with open(log_path, "a") as log:
+        log.write(f"\n=== [{_now()}] {stage['name']}: "
+                  f"{' '.join(stage['cmd'])} (timeout {timeout}s)\n")
+        log.flush()
+        try:
+            rc = subprocess.run(stage["cmd"], stdout=log, stderr=log,
+                                timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            log.write(f"=== [{_now()}] TIMEOUT after {timeout}s\n")
+            return False
+        log.write(f"=== [{_now()}] exit {rc}\n")
+    if rc != 0:
+        return False
+    for src, dst in stage.get("artifacts", []):
+        if not os.path.exists(src):
+            with open(log_path, "a") as log:
+                log.write(f"=== missing artifact {src}\n")
+            return False
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        import shutil
+        shutil.copy2(src, dst)
+    return True
+
+
+def run_queue(path: str, only: str | None = None,
+              retry_sleep_default: float = 90.0) -> dict:
+    """Execute a stage-queue file; returns {name: status}. Safe to re-run:
+    completed stages (durable markers / done_when artifacts) are skipped,
+    so a recycled VM resumes with the same command."""
+    q = load_queue(path)
+    mdir = q["marker_dir"]
+    os.makedirs(mdir, exist_ok=True)
+    results = {}
+    for stage in q["stages"]:
+        name = stage["name"]
+        if only and name != only:
+            results[name] = stage_status(q, stage)
+            continue
+        st = stage_status(q, stage)
+        if st == "done":
+            print(f"[queue] {name}: already done, skipping", flush=True)
+            results[name] = "done"
+            continue
+        failed_marker = os.path.join(mdir, name + ".failed")
+        if os.path.exists(failed_marker):
+            os.remove(failed_marker)   # explicit re-run of a failed stage
+        log_path = os.path.join(mdir, name + ".log")
+        attempts = 1 + int(stage.get("retries", 1))
+        ok = False
+        for attempt in range(attempts):
+            print(f"[queue] {name}: attempt {attempt + 1}/{attempts} "
+                  f"({_now()})", flush=True)
+            ok = _run_stage_once(stage, log_path)
+            if ok:
+                break
+            if attempt + 1 < attempts:
+                time.sleep(stage.get("retry_sleep", retry_sleep_default))
+        marker = os.path.join(mdir, name + (".done" if ok else ".failed"))
+        with open(marker, "w") as f:
+            f.write(_now() + "\n")
+        results[name] = "done" if ok else "failed"
+        print(f"[queue] {name}: {'DONE' if ok else 'FAILED'}", flush=True)
+        if ok:
+            time.sleep(stage.get("cooldown", 30))
+        elif not stage.get("continue_on_fail", True):
+            print("[queue] aborting (continue_on_fail=false)", flush=True)
+            break
+    return results
+
+
+def queue_status(path: str) -> dict:
+    q = load_queue(path)
+    return {s["name"]: stage_status(q, s) for s in q["stages"]}
+
+
+def _queue_main(argv=None):
+    import argparse
+    import json
+    p = argparse.ArgumentParser(
+        description="Declarative experiment stage queue (resumable)")
+    p.add_argument("--queue", required=True, help="queue JSON file")
+    p.add_argument("--status", action="store_true",
+                   help="print per-stage status and exit")
+    p.add_argument("--only", default=None, help="run a single stage")
+    args = p.parse_args(argv)
+    if args.status:
+        print(json.dumps(queue_status(args.queue), indent=1))
+        return
+    results = run_queue(args.queue, only=args.only)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    _queue_main()

@@ -95,3 +95,136 @@ def test_real_schwinger_chain_through_runner(tmp_path):
     data = np.load(sp)
     assert int(data["done"]) == 8
     np.testing.assert_allclose(data["q"], hist["q"])
+
+
+# ---------------------------------------------------------------------------
+# Declarative stage queue (round-4)
+
+import json
+import sys
+
+from fthmc_tpu.runner import load_queue, queue_status, run_queue
+
+
+def _q(tmp_path, stages):
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps(
+        {"marker_dir": str(tmp_path / "markers"), "stages": stages}))
+    return str(qf)
+
+
+def _touch_cmd(path):
+    return [sys.executable, "-c",
+            f"open({str(path)!r}, 'w').write('x')"]
+
+
+def test_queue_runs_and_copies_artifacts(tmp_path):
+    out = tmp_path / "out.json"
+    dst = tmp_path / "artifacts" / "out.json"
+    qf = _q(tmp_path, [{
+        "name": "s1", "cmd": _touch_cmd(out), "timeout": 60,
+        "cooldown": 0, "artifacts": [[str(out), str(dst)]]}])
+    res = run_queue(qf)
+    assert res == {"s1": "done"}
+    assert dst.read_text() == "x"
+    assert (tmp_path / "markers" / "s1.done").exists()
+
+
+def test_queue_resume_skips_done_stages(tmp_path):
+    out = tmp_path / "out.txt"
+    qf = _q(tmp_path, [{"name": "s1", "cmd": _touch_cmd(out),
+                        "cooldown": 0, "timeout": 60}])
+    assert run_queue(qf) == {"s1": "done"}
+    out.unlink()                      # if it re-ran, the file would return
+    assert run_queue(qf) == {"s1": "done"}
+    assert not out.exists()
+
+
+def test_queue_done_when_counts_prequeue_artifact(tmp_path):
+    dw = tmp_path / "already.json"
+    dw.write_text("{}")
+    boom = [sys.executable, "-c", "raise SystemExit(9)"]
+    qf = _q(tmp_path, [{"name": "s1", "cmd": boom, "timeout": 60,
+                        "cooldown": 0, "done_when": str(dw)}])
+    assert run_queue(qf) == {"s1": "done"}   # never executed the cmd
+
+
+def test_queue_failure_marks_and_continues(tmp_path):
+    out = tmp_path / "second.txt"
+    boom = [sys.executable, "-c", "raise SystemExit(1)"]
+    qf = _q(tmp_path, [
+        {"name": "bad", "cmd": boom, "timeout": 60, "retries": 1,
+         "retry_sleep": 0.01, "cooldown": 0},
+        {"name": "good", "cmd": _touch_cmd(out), "timeout": 60,
+         "cooldown": 0},
+    ])
+    res = run_queue(qf)
+    assert res == {"bad": "failed", "good": "done"}
+    assert (tmp_path / "markers" / "bad.failed").exists()
+    assert out.exists()
+    assert queue_status(qf) == {"bad": "failed", "good": "done"}
+
+
+def test_queue_abort_on_continue_on_fail_false(tmp_path):
+    out = tmp_path / "never.txt"
+    boom = [sys.executable, "-c", "raise SystemExit(1)"]
+    qf = _q(tmp_path, [
+        {"name": "bad", "cmd": boom, "timeout": 60, "retries": 0,
+         "cooldown": 0, "continue_on_fail": False},
+        {"name": "after", "cmd": _touch_cmd(out), "timeout": 60,
+         "cooldown": 0},
+    ])
+    res = run_queue(qf)
+    assert res == {"bad": "failed"}
+    assert not out.exists()
+
+
+def test_queue_clean_removes_stale_state(tmp_path):
+    stale = tmp_path / "scan.json"
+    stale.write_text("stale")
+    # cmd asserts the stale file is gone, then writes fresh output
+    cmd = [sys.executable, "-c",
+           (f"import os; assert not os.path.exists({str(stale)!r}); "
+            f"open({str(stale)!r}, 'w').write('fresh')")]
+    qf = _q(tmp_path, [{"name": "s1", "cmd": cmd, "timeout": 60,
+                        "cooldown": 0, "clean": [str(stale)]}])
+    assert run_queue(qf) == {"s1": "done"}
+    assert stale.read_text() == "fresh"
+
+
+def test_queue_missing_artifact_fails_stage(tmp_path):
+    ok = [sys.executable, "-c", "pass"]
+    qf = _q(tmp_path, [{"name": "s1", "cmd": ok, "timeout": 60,
+                        "retries": 0, "cooldown": 0,
+                        "artifacts": [[str(tmp_path / "no.json"),
+                                       str(tmp_path / "dst.json")]]}])
+    assert run_queue(qf) == {"s1": "failed"}
+
+
+def test_queue_timeout_reaps_stage(tmp_path):
+    slow = [sys.executable, "-c", "import time; time.sleep(30)"]
+    qf = _q(tmp_path, [{"name": "s1", "cmd": slow, "timeout": 1,
+                        "retries": 0, "cooldown": 0}])
+    assert run_queue(qf) == {"s1": "failed"}
+
+
+def test_queue_only_runs_single_stage(tmp_path):
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    qf = _q(tmp_path, [
+        {"name": "sa", "cmd": _touch_cmd(a), "timeout": 60, "cooldown": 0},
+        {"name": "sb", "cmd": _touch_cmd(b), "timeout": 60, "cooldown": 0},
+    ])
+    res = run_queue(qf, only="sb")
+    assert res["sb"] == "done" and res["sa"] == "pending"
+    assert b.exists() and not a.exists()
+
+
+def test_queue_rejects_duplicate_names_and_str_cmd(tmp_path):
+    import pytest
+    qf = _q(tmp_path, [{"name": "x", "cmd": ["true"]},
+                       {"name": "x", "cmd": ["true"]}])
+    with pytest.raises(ValueError):
+        load_queue(qf)
+    qf2 = _q(tmp_path, [{"name": "x", "cmd": "true"}])
+    with pytest.raises(ValueError):
+        load_queue(qf2)
