@@ -171,22 +171,36 @@ MOBILITY_PAIRS = [  # (point, meta, [plain probe files], [ft probe files])
     ("32m01b8", dict(L=32, beta=8),
      ["probe_L32b8_plain.json"], ["probe_L32b8_ft.json"]),
     ("32m01b9", dict(L=32, beta=9),
-     ["probe_L32b9_plain.json"], ["probe_L32b9_ft.json"]),
+     ["probe_L32b9_plain.json", "probe_L32b9_plain_n10.json",
+      "probe_L32b9_plain_n12ext.json"],
+     ["probe_L32b9_ft.json", "probe_L32b9_ft2.json"]),
     ("64m01b6", dict(L=64, beta=6),
      ["probe_L64_plain.json"], ["probe_L64_ft.json"]),
     ("64m01b8", dict(L=64, beta=8),
-     ["probe_L64b8_plain.json"], ["probe_L64b8_ft.json"]),
+     ["probe_L64b8_plain.json"],
+     ["probe_L64b8_ft.json", "probe_L64b8_ft_tau.json",
+      "probe_L64b8_ft_tau2.json"]),
 ]
 
 
-def load_retimes(adir):
+
+def _find(dirs, fname):
+    """First existing path for fname across the artifact dirs (searched in
+    order); falls back to the first dir's path (for 'missing' messages)."""
+    for d in dirs:
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            return path
+    return os.path.join(dirs[0], fname)
+
+def load_retimes(dirs):
     """{(beta, sampler, nstep, tau, src): s_per_traj} from the stage-8c
     (xla) / stage-8d (fused) re-times — 16^2 rows only."""
     out = {}
     for beta in (4, 5, 6, 7):
         for backend, fname in (("xla", f"retime_b{beta}.json"),
                                ("fused", f"retime_b{beta}_fused.json")):
-            path = os.path.join(adir, fname)
+            path = _find(dirs, fname)
             if not os.path.exists(path):
                 continue
             for r in json.load(open(path))["rows"]:
@@ -197,12 +211,12 @@ def load_retimes(adir):
     return out
 
 
-def load_probes(adir):
+def load_probes(dirs):
     """Same key -> {'probe': s_per_traj} from the stage-9 probes."""
     out = {}
     for (L, beta), files in PROBES.items():
         for fname in files:
-            path = os.path.join(adir, fname)
+            path = _find(dirs, fname)
             if not os.path.exists(path):
                 continue
             for r in json.load(open(path))["rows"]:
@@ -223,7 +237,9 @@ def best_timing(timings, spt_run):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--dir", default="artifacts/round3")
+    p.add_argument("--dir", nargs="+",
+                   default=["artifacts/round3", "artifacts/round4"],
+                   help="artifact dirs, searched in order")
     p.add_argument("--min-events", type=float, default=50,
                    help="statistics floor for mobility-pair verdicts "
                         "(BENCH.md convergence lesson); rows below it or "
@@ -244,7 +260,7 @@ def main():
             key = (meta["L"], float(meta["beta"]), row["s"],
                    row["nstep"], row["tau"])
             if "chain" in row:
-                path = os.path.join(args.dir, row["chain"])
+                path = _find(args.dir, row["chain"])
                 if not os.path.exists(path):
                     print(f"{point:>8} {row['s']:>5} {row['note']:>22}"
                           f"   -- missing: {row['chain']}")
@@ -258,7 +274,7 @@ def main():
                 dead = row.get("superseded") or (
                     row.get("superseded_by")
                     and os.path.exists(
-                        os.path.join(args.dir, row["superseded_by"])))
+                        _find(args.dir, row["superseded_by"])))
                 print(f"{point:>8} {row['s']:>5} {row['note']:>22} "
                       f"{r['acc']:>6.3f} {tau:>9.1f}({terr:.1f})"
                       f"[{ntau:.0f}t] {r['chi_q']:>8.3f}({r['chi_q_err']:.3f})"
@@ -268,7 +284,7 @@ def main():
                     effs.setdefault(row["s"], []).append((eff, eeff))
             else:
                 mob_f, chi_f = row["est"]
-                mp, cp = (os.path.join(args.dir, f) for f in (mob_f, chi_f))
+                mp, cp = (_find(args.dir, f) for f in (mob_f, chi_f))
                 if not (os.path.exists(mp) and os.path.exists(cp)):
                     print(f"{point:>8} {row['s']:>5} {row['note']:>22}"
                           f"   -- missing: {mob_f} / {chi_f}")
@@ -293,8 +309,8 @@ def main():
         print()
 
     for point, meta, plain_fs, ft_fs in MOBILITY_PAIRS:
-        paths = {side: [os.path.join(args.dir, f) for f in fs
-                        if os.path.exists(os.path.join(args.dir, f))]
+        paths = {side: [p for p in (_find(args.dir, f) for f in fs)
+                        if os.path.exists(p)]
                  for side, fs in (("plain", plain_fs), ("FT", ft_fs))}
         if not (paths["plain"] and paths["FT"]):
             print(f"{point:>8} mobility pair -- missing: "

@@ -56,6 +56,10 @@ def main():
                         "w * mean(F_eff^2) (round-3: targets the "
                         "seed-sensitive ruggedness of pure-KL optima)")
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--ferm-mass", type=float, default=0.0,
+                   help="fermion-aware smoothness: put the exact-log-det "
+                        "dynamical force (this Wilson mass) in the "
+                        "force-weight regularizer (train.ft_force_dyn)")
     p.add_argument("--sched", action="store_true",
                    help="reduce-on-plateau LR schedule")
     p.add_argument("--integrator", default="leapfrog",
@@ -91,7 +95,8 @@ def main():
                       beta_init=args.beta_init,
                       beta_anneal_frac=args.anneal_frac,
                       grad_clip=args.grad_clip,
-                      force_weight=args.force_weight)
+                      force_weight=args.force_weight,
+                      ferm_mass=args.ferm_mass)
     state = init_train_state(jax.random.PRNGKey(cfg.seed), cfg)
     if args.init_ckpt:
         from fthmc_tpu.checkpoint import load_checkpoint

@@ -151,6 +151,13 @@ class TrainConfig:
                                    # force step at lr/100): this shapes the
                                    # KL optimum itself toward leapfrog-smooth
                                    # maps. No reference counterpart; 0 = off.
+    ferm_mass: float = 0.0        # fermion-aware smoothness (round-4): with
+                                   # force_weight > 0, F_eff in the
+                                   # regularizer is the DYNAMICAL effective
+                                   # force with the EXACT two-flavor log-det
+                                   # at this Wilson mass (fermion.
+                                   # logdet_mdagm, dense — train volumes
+                                   # only). 0 = pure-gauge F_eff.
     dkl_factor: float = 1.0
     beta_init: float | None = None  # beta-annealed training: start from this
                                     # beta and ramp linearly to `beta` over

@@ -47,6 +47,7 @@ __all__ = [
     "dirac", "dirac_dag", "apply_mdagm", "cg_solve", "set_cg_backend",
     "pf_refresh",
     "pf_action_exact", "pf_action_lin", "pf_force", "CGResult",
+    "dirac_dense", "logdet_mdagm",
     "chiral_condensate", "pion_correlator",
     "parity_mask", "dirac_hat", "dirac_hat_dag", "apply_mdagm_eo",
     "hasenbusch_refresh", "ratio_action_exact", "ratio_action_lin",
@@ -367,6 +368,41 @@ def pf_action_lin(theta: jnp.ndarray, phi: jnp.ndarray, x_sol: jnp.ndarray,
     xs = jax.lax.stop_gradient(x_sol)
     return (2.0 * jnp.real(_cdot(xs, phi))
             - jnp.real(_cdot(xs, op(theta, xs, mass))))
+
+
+def dirac_dense(theta: jnp.ndarray, mass: float) -> jnp.ndarray:
+    """Dense Wilson operator of ONE configuration as a REAL (2n, 2n) matrix
+    (real representation of the complex (n, n) operator, n = 2*L0*L1).
+
+    det(realrep(D)) = |det D|^2 = det(D^dag D), so the dense route gives the
+    EXACT two-flavor determinant without complex linear algebra (eager
+    complex ops are unsupported on this TPU backend). O(n^2) storage —
+    train-lattice scale only (n = 128 at 8^2).
+    """
+    L0, L1 = theta.shape[-2:]
+    n = 2 * L0 * L1
+    basis = jnp.eye(n, dtype=jnp.complex64).reshape(n, L0, L1, 2)
+    cols = dirac(theta, basis, mass)            # row j = D @ e_j
+    D = cols.reshape(n, n).T                     # (rows, cols)
+    return jnp.block([[D.real, -D.imag], [D.imag, D.real]])
+
+
+def logdet_mdagm(theta: jnp.ndarray, mass: float) -> jnp.ndarray:
+    """ln det(D^dag D) per configuration — the EXACT two-flavor fermion
+    log-determinant, differentiable (slogdet VJP), via the dense real
+    representation. theta: (..., 2, L0, L1) -> (...).
+
+    This is the noise-free fermion contribution to the effective action
+    S_eff = S_g - ln det(D^dag D): the clean target for fermion-aware
+    flow-smoothness training (the round-3 heatbath-force target was too
+    noisy — BENCH.md ftschw_b6_negative). Dense: use at the training
+    volume (8^2), never in samplers.
+    """
+    lead = theta.shape[:-3]
+    th = theta.reshape((-1,) + theta.shape[-3:])
+    _, ld = jnp.linalg.slogdet(jax.vmap(dirac_dense, in_axes=(0, None))(
+        th, mass))
+    return ld.reshape(lead)
 
 
 @partial(jax.jit, static_argnames=("mass", "tol", "maxiter", "eo"))

@@ -93,9 +93,28 @@ def sample_and_logq(params, spec: FlowSpec, key: jax.Array, batch: int, L: int,
     return x, z, logq
 
 
+def ft_force_dyn(params, spec: FlowSpec, z: jnp.ndarray, beta: float,
+                 mass: float) -> jnp.ndarray:
+    """dS_eff/dz with the DYNAMICAL effective action
+    S_eff = S_g(f(z)) - logdet J_f - ln det(D^dag D)(f(z)): the force the
+    flow actually faces in dynamical-fermion FT-HMC (schwinger.py), with
+    the fermion determinant exact (fermion.logdet_mdagm — dense,
+    train-volume only) instead of a noisy pseudofermion estimate."""
+    from fthmc_tpu import fermion
+
+    def act(zz):
+        y, logdet = flow_forward(params, zz, spec)
+        s = (lattice.batch_action(y, beta) - logdet
+             - fermion.logdet_mdagm(y, mass))
+        return jnp.sum(s)
+
+    return jax.grad(act)(z)
+
+
 def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
                     L: int, beta: float, dkl_factor: float = 1.0,
-                    dtype=jnp.float32, force_weight: float = 0.0):
+                    dtype=jnp.float32, force_weight: float = 0.0,
+                    ferm_mass: float = 0.0):
     """loss = dkl_factor * E_q[logq - logp], logp = -S(x).
     Returns (loss, aux dict). (reference train_step, train.py:192-204)
 
@@ -112,7 +131,12 @@ def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
     aux = {"logp": logp, "logq": logq, "x": x, "z": z, "dkl": dkl}
     loss = dkl_factor * dkl
     if force_weight:
-        f = ft_force(params, spec, z, beta)
+        # ferm_mass > 0: fermion-aware smoothness — regularize the force
+        # the flow faces in DYNAMICAL FT-HMC (exact log-det term), the
+        # round-4 lever for the 32^2/64^2 high-beta cells where the
+        # flow-VJP cost must be bought back with a coarser step.
+        f = (ft_force_dyn(params, spec, z, beta, ferm_mass) if ferm_mass
+             else ft_force(params, spec, z, beta))
         fsq = jnp.mean(f * f)
         aux["force_sq"] = fsq
         loss = loss + force_weight * fsq
@@ -122,7 +146,7 @@ def reverse_kl_loss(params, spec: FlowSpec, key: jax.Array, batch: int,
 def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
                      beta, dkl_factor: float, base_lr: float,
                      grad_clip: float | None = None,
-                     force_weight: float = 0.0):
+                     force_weight: float = 0.0, ferm_mass: float = 0.0):
     """One reverse-KL training step -> (new_state, metrics dict).
 
     Metrics mirror the reference (train.py:217-226): ess, logp, logq,
@@ -133,7 +157,8 @@ def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
 
     def loss_fn(params):
         return reverse_kl_loss(params, spec, kstep, batch, L, beta,
-                               dkl_factor, force_weight=force_weight)
+                               dkl_factor, force_weight=force_weight,
+                               ferm_mass=ferm_mass)
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
@@ -169,7 +194,7 @@ def _train_step_impl(state: TrainState, spec: FlowSpec, batch: int, L: int,
 
 train_step = partial(jax.jit, static_argnames=(
     "spec", "batch", "L", "beta", "dkl_factor", "base_lr", "grad_clip",
-    "force_weight"))(_train_step_impl)
+    "force_weight", "ferm_mass"))(_train_step_impl)
 
 
 def distill_latents(params, pre_params, spec: FlowSpec, key: jax.Array,
@@ -265,14 +290,14 @@ def _plateau_update_device(state: TrainState, loss, sched: SchedulerConfig,
 @partial(jax.jit, static_argnames=("spec", "batch", "L", "beta",
                                    "dkl_factor", "base_lr", "n_epoch",
                                    "sched", "with_force", "force_lr_factor",
-                                   "grad_clip", "force_weight"))
+                                   "grad_clip", "force_weight", "ferm_mass"))
 def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
               beta: float, dkl_factor: float, base_lr: float, n_epoch: int,
               sched: SchedulerConfig | None = None,
               with_force: bool = False, force_lr_factor: float = 0.01,
               betas: jnp.ndarray | None = None,
               grad_clip: float | None = None,
-              force_weight: float = 0.0):
+              force_weight: float = 0.0, ferm_mass: float = 0.0):
     """One ERA (n_epoch steps) as a single compiled lax.scan program.
 
     Removes per-step host dispatch entirely (the reference pays a Python
@@ -366,6 +391,8 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
     spec = cfg.flow
     if mesh is not None:
         assert not cfg.with_force, "force-matching is single-device only"
+        assert not cfg.ferm_mass, (
+            "fermion-aware smoothness (ferm_mass) is single-device only")
         from fthmc_tpu.parallel.mesh import sharded_train_era
 
     for era in range(start_era, cfg.n_era):
@@ -385,7 +412,8 @@ def train(cfg: TrainConfig, state: TrainState | None = None,
                 force_lr_factor=cfg.force_lr_factor,
                 betas=anneal_betas(cfg, era),
                 grad_clip=cfg.grad_clip,
-                force_weight=cfg.force_weight)
+                force_weight=cfg.force_weight,
+                ferm_mass=cfg.ferm_mass)
         host = {k: np.asarray(v) for k, v in stacked.items()}
         dt = time.time() - t0
         for e in range(cfg.n_epoch):

@@ -293,3 +293,75 @@ def test_eo_hmc_matches_plain_physics():
     p0 = np.asarray(h0.plaq)[20:].mean()
     p1 = np.asarray(h1.plaq)[20:].mean()
     assert abs(p0 - p1) < 0.03, (p0, p1)
+
+
+# ---------------------------------------------------------------------------
+# Exact dense log-determinant (round-4 fermion-aware smoothness target)
+
+def test_logdet_mdagm_matches_complex_slogdet():
+    """ln det(D^dag D) via the real representation == complex slogdet of
+    the dense operator (batched)."""
+    theta = _rand_theta(jax.random.PRNGKey(41), batch=3)
+    ld = np.asarray(fermion.logdet_mdagm(theta, MASS))
+    assert ld.shape == (3,)
+    for b in range(3):
+        d = _dense(theta[b], MASS, fermion.dirac).astype(np.complex128)
+        _, ld_ref = np.linalg.slogdet(d.conj().T @ d)
+        np.testing.assert_allclose(ld[b], ld_ref, rtol=2e-5)
+
+
+def test_logdet_mdagm_gauge_invariant():
+    theta = _rand_theta(jax.random.PRNGKey(42), batch=2)
+    ld = fermion.logdet_mdagm(theta, MASS)
+    theta_g = lattice.random_gauge_transform(jax.random.PRNGKey(7), theta)
+    ld_g = fermion.logdet_mdagm(theta_g, MASS)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_g), rtol=2e-5)
+
+
+def test_logdet_mdagm_gradient_matches_fd():
+    theta = _rand_theta(jax.random.PRNGKey(43))
+
+    def f(th):
+        return jnp.sum(fermion.logdet_mdagm(th, MASS))
+
+    g = np.asarray(jax.grad(f)(theta))
+    v = np.array(jax.random.normal(jax.random.PRNGKey(8), theta.shape))
+    v /= np.linalg.norm(v)
+    eps = 1e-3
+    fd = (float(f(theta + eps * v)) - float(f(theta - eps * v))) / (2 * eps)
+    np.testing.assert_allclose(np.sum(g * v), fd, rtol=5e-3, atol=1e-4)
+
+
+def test_ft_force_dyn_reduces_to_gauge_force_at_heavy_mass():
+    """As m -> inf the fermion det force vanishes (hops suppressed by
+    1/(m+2)), so the dynamical effective force -> the quenched one."""
+    from fthmc_tpu.config import FlowSpec
+    from fthmc_tpu.models.flow import init_flow_params
+    from fthmc_tpu.hmc import ft_force
+    from fthmc_tpu.train import ft_force_dyn
+    spec = FlowSpec(n_layers=2, hidden_sizes=(4,), n_mixture=2)
+    params = init_flow_params(jax.random.PRNGKey(0), spec)
+    z = _rand_theta(jax.random.PRNGKey(44), batch=2)
+    fg = np.asarray(ft_force(params, spec, z, 2.0))
+    fd = np.asarray(ft_force_dyn(params, spec, z, 2.0, mass=1e4))
+    np.testing.assert_allclose(fd, fg, rtol=1e-4, atol=5e-4)
+    # ... and at a light mass it is genuinely different
+    fl = np.asarray(ft_force_dyn(params, spec, z, 2.0, mass=0.1))
+    assert np.max(np.abs(fl - fg)) > 1e-2
+
+
+def test_train_step_fermaware_runs_and_updates():
+    from fthmc_tpu.config import FlowSpec, TrainConfig
+    from fthmc_tpu.train import init_train_state, train_step
+    spec = FlowSpec(n_layers=2, hidden_sizes=(4,), n_mixture=2)
+    cfg = TrainConfig(L=L, beta=2.0, batch_size=4, flow=spec,
+                      force_weight=0.5, ferm_mass=0.1)
+    state = init_train_state(jax.random.PRNGKey(1), cfg)
+    new_state, metrics = train_step(
+        state, spec, 4, L, 2.0, 1.0, 1e-3,
+        force_weight=0.5, ferm_mass=0.1)
+    assert np.isfinite(float(metrics["loss_dkl"]))
+    assert np.isfinite(float(metrics["force_sq"]))
+    leaves0 = jax.tree_util.tree_leaves(state.params)
+    leaves1 = jax.tree_util.tree_leaves(new_state.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
