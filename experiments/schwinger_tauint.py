@@ -73,6 +73,14 @@ def main():
                         "3-level nested Omelyan, requires --n-inner >= 1)")
     p.add_argument("--n-mid", type=int, default=1,
                    help="heavy-term steps per outer drift (Hasenbusch)")
+    p.add_argument("--min-ntau", type=float, default=0,
+                   help="statistics floor (round-4): auto-extend the chain "
+                        "until the post-therm length is >= this many "
+                        "tau_int (40 = the BENCH.md convergence rule: "
+                        "shorter chains read tau 25-30% low); rows below "
+                        "the floor are flagged valid=false either way")
+    p.add_argument("--max-extra-wall", type=float, default=0,
+                   help="wall budget (s) for the --min-ntau extension")
     p.add_argument("--cg-maxiter", type=int, default=1000)
     p.add_argument("--cg-backend", choices=["xla", "fused", "mixed"],
                    default="xla",
@@ -145,7 +153,27 @@ def main():
         state_path=state_path, block_timeout=args.block_timeout,
         on_block=progress)
 
+    # statistics-floor auto-extension: thermalization stays the ORIGINAL
+    # cut (new trajectories are statistics, not burn-in); each pass grows
+    # the target 25% and resumes through the same persisted state, so a
+    # crash mid-extension loses at most one block.
     therm = int(args.ntraj * args.therm_frac)
+    ntraj_target = args.ntraj
+    t_ext0 = time.time()
+    while args.min_ntau > 0:
+        st = chain_stats(np.asarray(hist["q"])[therm:])
+        ntau = st["ntraj_used"] / max(st["tau_int_q"], 1e-9)
+        if (ntau >= args.min_ntau
+                or time.time() - t_ext0 >= args.max_extra_wall):
+            break
+        ntraj_target += max(args.block, int(0.25 * ntraj_target))
+        print(f"  below {args.min_ntau:.0f}-tau floor "
+              f"({ntau:.1f}t); extending to {ntraj_target}", flush=True)
+        z, hist, info = run_resilient(
+            scan_fn, z, key=key, ntraj=ntraj_target, block=args.block,
+            state_path=state_path, block_timeout=args.block_timeout,
+            on_block=progress)
+
     q = np.asarray(hist["q"])[therm:]
     res = {
         "config": vars(args),
@@ -157,6 +185,9 @@ def main():
         "s_per_traj": info["s_per_traj"],
         **chain_stats(q),
     }
+    res["ntau"] = res["ntraj_used"] / max(res["tau_int_q"], 1e-9)
+    res["valid"] = bool(args.min_ntau <= 0 or res["ntau"] >= args.min_ntau)
+    res["ntraj_final"] = ntraj_target
     from fthmc_tpu.diagnostics import sanity_report
     rep = sanity_report(hist, therm_frac=args.therm_frac)
     if not rep["ok"]:
