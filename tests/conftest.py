@@ -20,6 +20,12 @@ import jax  # noqa: E402
 # equivalent of xla_force_host_platform_device_count.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: XLA CPU compiles are ~10-30 s/program here
+# and dominate suite wall time - cache them across runs (round-4 dev-loop
+# fix; first run populates, repeats hit disk).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
