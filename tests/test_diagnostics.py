@@ -169,3 +169,48 @@ def test_sanity_report_namedtuple_and_single_chain():
     rep = sanity_report(H(h["acc"][:, 0], h["plaq"][:, 0],
                           h["exp_mdh"][:, 0]))
     assert rep["ok"], rep["flags"]  # single chain: drift/ref checks skip
+
+
+def test_format_table_dict_rows_and_alignment():
+    from fthmc_tpu.utils.logger import format_table
+    rows = [{"beta": 6.0, "acc": 0.94521, "who": "plain"},
+            {"beta": 8.0, "acc": 0.812, "who": "FT"}]
+    out = format_table(rows, title="ladder")
+    lines = out.splitlines()
+    assert lines[0] == "ladder"
+    assert "beta" in lines[2] and "acc" in lines[2] and "who" in lines[2]
+    assert "0.9452" in out and "plain" in out      # 4-sig-fig floats
+    # all box lines equal width
+    widths = {len(l) for l in lines[1:]}
+    assert len(widths) == 1
+
+
+def test_format_table_list_rows_requires_headers():
+    import pytest
+    from fthmc_tpu.utils.logger import format_table
+    assert "x" in format_table([[1, 2]], headers=["x", "y"])
+    with pytest.raises(ValueError):
+        format_table([[1, 2]])
+
+
+def test_color_off_for_non_tty(capsys):
+    from fthmc_tpu.utils.logger import Logger, supports_color
+    log = Logger()
+    assert not supports_color(log.stream) or True   # capsys stream: no tty
+    log.log("hello")
+    out = capsys.readouterr().out
+    assert "\033[" not in out                        # plain fallback
+    assert "hello" in out
+
+
+def test_colorize_respects_enabled_flag():
+    from fthmc_tpu.utils.logger import colorize
+    assert colorize("x", "red", enabled=False) == "x"
+    assert "\033[31m" in colorize("x", "red", enabled=True)
+
+
+def test_logger_table_prints(capsys):
+    from fthmc_tpu.utils.logger import Logger
+    Logger().table([{"a": 1.0}], title="T")
+    out = capsys.readouterr().out
+    assert "T" in out and "| a" in out
