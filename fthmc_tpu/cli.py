@@ -747,6 +747,16 @@ def cmd_bench(args) -> dict:
                           which=args.which)
 
 
+def cmd_queue(args) -> dict:
+    import json as _json
+
+    from fthmc_tpu.runner import queue_status, run_queue
+    res = (queue_status(args.queue) if args.status
+           else run_queue(args.queue, only=args.only))
+    print(_json.dumps(res, indent=1))
+    return res
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fthmc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -966,6 +976,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--which", type=str, default="hmc",
                     choices=["hmc", "fthmc", "train", "sample", "all"])
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser(
+        "queue", help="run/inspect a declarative experiment stage queue "
+                      "(fthmc_tpu.runner.run_queue: durable markers, "
+                      "resumable after a VM recycle)")
+    sp.add_argument("--queue", required=True, help="queue JSON file")
+    sp.add_argument("--status", action="store_true")
+    sp.add_argument("--only", default=None)
+    sp.set_defaults(fn=cmd_queue)
     return p
 
 

@@ -187,3 +187,14 @@ def test_cli_schwinger_devices_smoke(tmp_path):
                 "--block", "2", "--devices", "4", "--outdir", str(tmp_path)])
     assert 0.0 <= out["acc"] <= 1.0
     assert abs(out["exp_mdh"] - 1.0) < 0.5
+
+
+def test_cli_queue_status(tmp_path, capsys):
+    import json
+    from fthmc_tpu import cli
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps({
+        "marker_dir": str(tmp_path / "m"),
+        "stages": [{"name": "s1", "cmd": ["true"]}]}))
+    res = cli.main(["queue", "--queue", str(qf), "--status"])
+    assert res == {"s1": "pending"}
