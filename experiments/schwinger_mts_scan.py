@@ -172,17 +172,21 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
         def seg(state, k):
             return _run_hmc_dyn_scan(k, state, cfg, cb)
 
-    def run(state, k0, n_segments, timed):
+    def run(state, k0, n_segments, timed, tag=""):
         hs, t0 = [], time.time()
         for j in range(n_segments):
             state, h = seg(state, jax.random.fold_in(k0, j))
             float(jnp.sum(state))   # sync (block_until_ready unreliable)
             if timed:
                 hs.append(h)
+            if tag and (j % 4 == 3 or j == n_segments - 1):
+                print(f"  [{rs}] {tag} {j + 1}/{n_segments} blocks "
+                      f"({time.time() - t0:.0f}s)", flush=True)
         return state, hs, time.time() - t0
 
-    state, _, _ = run(state, jax.random.fold_in(key, 1), nseg_therm, False)
-    state, hs, wall = run(state, key, nseg, True)
+    state, _, _ = run(state, jax.random.fold_in(key, 1), nseg_therm,
+                      False, tag="therm")
+    state, hs, wall = run(state, key, nseg, True, tag="timed")
 
     def mob_events(hs):
         q = np.concatenate([np.asarray(h.q) for h in hs])
