@@ -204,7 +204,7 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
            and wall_ext < args.max_extra_wall):
         state, hs2, w2 = run(
             state, jax.random.fold_in(jax.random.fold_in(key, 2), j_ext),
-            1, True)
+            1, True, tag=f"ext({nev:.0f}/{args.min_events:.0f}ev)")
         hs.extend(hs2)
         wall += w2
         wall_ext += w2
