@@ -314,7 +314,8 @@ def train_era(state: TrainState, spec: FlowSpec, batch: int, L: int,
     def body(state, beta_e):
         state, metrics = _train_step_impl(state, spec, batch, L, beta_e,
                                           dkl_factor, base_lr, grad_clip,
-                                          force_weight=force_weight)
+                                          force_weight=force_weight,
+                                          ferm_mass=ferm_mass)
         if with_force:
             state, fmetrics = _force_step_impl(state, spec, batch, L, beta_e,
                                                base_lr, force_lr_factor,

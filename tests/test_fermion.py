@@ -365,3 +365,24 @@ def test_train_step_fermaware_runs_and_updates():
     leaves0 = jax.tree_util.tree_leaves(state.params)
     leaves1 = jax.tree_util.tree_leaves(new_state.params)
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
+def test_train_era_threads_ferm_mass():
+    """Regression: the fermion-aware term must actually change the era-scan
+    training (a round-4 threading bug made --ferm-mass a silent no-op:
+    train_era accepted the arg but dropped it at the internal step call —
+    caught because the 'fermion-aware' run came out BIT-IDENTICAL to the
+    pure-gauge control)."""
+    from fthmc_tpu.config import FlowSpec, TrainConfig
+    from fthmc_tpu.train import init_train_state, train_era
+    spec = FlowSpec(n_layers=2, hidden_sizes=(4,), n_mixture=2)
+    cfg = TrainConfig(L=L, beta=2.0, batch_size=4, flow=spec)
+    state = init_train_state(jax.random.PRNGKey(1), cfg)
+    _, m_gauge = train_era(state, spec, 4, L, 2.0, 1.0, 1e-3, 2,
+                           force_weight=0.5)
+    _, m_ferm = train_era(state, spec, 4, L, 2.0, 1.0, 1e-3, 2,
+                          force_weight=0.5, ferm_mass=0.1)
+    fg = np.asarray(m_gauge["force_sq"])
+    ff = np.asarray(m_ferm["force_sq"])
+    assert np.all(np.isfinite(ff))
+    assert np.max(np.abs(fg - ff)) > 1e-6   # the term must bite
