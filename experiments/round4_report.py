@@ -29,6 +29,8 @@ SCANS = [
     ("schw_b9_ftb9_ab.json", "16^2 beta=9 fine-tune A/B"),
     ("l1_24l_schw_b6_ab.json", "16^2 beta=6 24L-lambda A/B"),
     ("ferm_ab_l32b9.json", "32^2 beta=9 ferm-aware A/B"),
+    ("ferm_16b9.json", "16^2 beta=9 ferm-aware probe"),
+    ("ferm_16b6.json", "16^2 beta=6 ferm-aware vs ftb6 paired A/B"),
     ("ferm_ab_l32b8.json", "32^2 beta=8 ferm-aware A/B"),
 ]
 
