@@ -191,7 +191,9 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
     def mob_events(hs):
         q = np.concatenate([np.asarray(h.q) for h in hs])
         mob = float(np.mean(np.abs(np.diff(q, axis=0)) ** 2))
-        return mob, mob * len(q) * q.shape[1]
+        # only len(q)-1 transitions exist per chain (ADVICE round-4: the
+        # floor gates verdicts, so the event count must be exact)
+        return mob, mob * (len(q) - 1) * q.shape[1]
 
     # statistics-floor auto-extension (round-4): keep adding timed
     # call-blocks until the tunneling-event count clears --min-events or

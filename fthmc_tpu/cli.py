@@ -752,7 +752,8 @@ def cmd_queue(args) -> dict:
 
     from fthmc_tpu.runner import queue_status, run_queue
     res = (queue_status(args.queue) if args.status
-           else run_queue(args.queue, only=args.only))
+           else run_queue(args.queue, only=args.only,
+                          retry_failed=args.retry_failed))
     print(_json.dumps(res, indent=1))
     return res
 
@@ -984,6 +985,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--queue", required=True, help="queue JSON file")
     sp.add_argument("--status", action="store_true")
     sp.add_argument("--only", default=None)
+    sp.add_argument("--retry-failed", action="store_true",
+                    help="re-attempt stages with .failed/.moot markers")
     sp.set_defaults(fn=cmd_queue)
     return p
 

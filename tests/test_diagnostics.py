@@ -196,7 +196,7 @@ def test_format_table_list_rows_requires_headers():
 def test_color_off_for_non_tty(capsys):
     from fthmc_tpu.utils.logger import Logger, supports_color
     log = Logger()
-    assert not supports_color(log.stream) or True   # capsys stream: no tty
+    assert not supports_color(log.stream)           # capsys stream: no tty
     log.log("hello")
     out = capsys.readouterr().out
     assert "\033[" not in out                        # plain fallback

@@ -101,6 +101,7 @@ def test_real_schwinger_chain_through_runner(tmp_path):
 # Declarative stage queue (round-4)
 
 import json
+import os
 import sys
 
 from fthmc_tpu.runner import load_queue, queue_status, run_queue
@@ -228,3 +229,135 @@ def test_queue_rejects_duplicate_names_and_str_cmd(tmp_path):
     qf2 = _q(tmp_path, [{"name": "x", "cmd": "true"}])
     with pytest.raises(ValueError):
         load_queue(qf2)
+
+
+# --- queue v2 (round-5): plan re-read, depends_on, failed-skip, cwd ------
+
+
+def test_queue_rereads_plan_between_stages(tmp_path):
+    """A stage appended to the JSON while the master runs is picked up at
+    the next stage boundary (no follower process needed)."""
+    qf = tmp_path / "q.json"
+    s2_out = tmp_path / "s2.txt"
+    plan2 = {"marker_dir": str(tmp_path / "markers"), "stages": [
+        {"name": "s1", "cmd": ["true"], "timeout": 60, "cooldown": 0},
+        {"name": "s2", "cmd": _touch_cmd(s2_out), "timeout": 60,
+         "cooldown": 0}]}
+    # s1's command rewrites the plan, appending s2
+    append = [sys.executable, "-c",
+              (f"import json; json.dump({plan2!r}, "
+               f"open({str(qf)!r}, 'w'))")]
+    qf.write_text(json.dumps(
+        {"marker_dir": str(tmp_path / "markers"), "stages": [
+            {"name": "s1", "cmd": append, "timeout": 60, "cooldown": 0}]}))
+    res = run_queue(str(qf))
+    assert res == {"s1": "done", "s2": "done"}
+    assert s2_out.exists()
+
+
+def test_queue_depends_on_moots_child_of_failed_parent(tmp_path):
+    out = tmp_path / "child.txt"
+    boom = [sys.executable, "-c", "raise SystemExit(1)"]
+    qf = _q(tmp_path, [
+        {"name": "parent", "cmd": boom, "timeout": 60, "retries": 0,
+         "cooldown": 0},
+        {"name": "child", "cmd": _touch_cmd(out), "timeout": 60,
+         "cooldown": 0, "depends_on": ["parent"]},
+        {"name": "orphan", "cmd": _touch_cmd(tmp_path / "o.txt"),
+         "timeout": 60, "cooldown": 0, "depends_on": ["no_such_stage"]},
+    ])
+    res = run_queue(qf)
+    assert res == {"parent": "failed", "child": "moot", "orphan": "moot"}
+    moot = (tmp_path / "markers" / "child.moot").read_text()
+    assert "parent=failed" in moot
+    assert not out.exists()
+    # durable: a fresh invocation leaves the moot stages alone
+    assert queue_status(qf) == {"parent": "failed", "child": "moot",
+                                "orphan": "moot"}
+
+
+def test_queue_depends_on_runs_child_after_parent(tmp_path):
+    order = tmp_path / "order.txt"
+    mk = (lambda tag: [sys.executable, "-c",
+                       f"open({str(order)!r}, 'a').write({tag!r})"])
+    qf = _q(tmp_path, [
+        {"name": "child", "cmd": mk("c"), "timeout": 60, "cooldown": 0,
+         "depends_on": ["parent"]},
+        {"name": "parent", "cmd": mk("p"), "timeout": 60, "cooldown": 0},
+    ])
+    res = run_queue(qf)
+    assert res == {"child": "done", "parent": "done"}
+    assert order.read_text() == "pc"   # parent ran first despite plan order
+
+
+def test_queue_failed_stage_skipped_on_rerun(tmp_path):
+    """A deterministically failing stage must not re-burn its timeout on
+    every invocation (ADVICE round-4): skipped by default, re-run under
+    retry_failed."""
+    cnt = tmp_path / "count.txt"
+    boom = [sys.executable, "-c",
+            (f"open({str(cnt)!r}, 'a').write('x'); raise SystemExit(1)")]
+    qf = _q(tmp_path, [{"name": "bad", "cmd": boom, "timeout": 60,
+                        "retries": 0, "cooldown": 0}])
+    assert run_queue(qf) == {"bad": "failed"}
+    assert cnt.read_text() == "x"
+    assert run_queue(qf) == {"bad": "failed"}      # skipped: no new attempt
+    assert cnt.read_text() == "x"
+    assert run_queue(qf, retry_failed=True) == {"bad": "failed"}
+    assert cnt.read_text() == "xx"                 # explicit retry ran it
+    assert run_queue(qf, only="bad") == {"bad": "failed"}
+    assert cnt.read_text() == "xxx"                # --only also re-runs
+
+
+def test_queue_done_when_backfills_marker(tmp_path):
+    """done_when satisfaction must write the durable .done marker so the
+    verdict survives the artifact (runs/ dies with the VM)."""
+    dw = tmp_path / "pre.json"
+    dw.write_text("{}")
+    boom = [sys.executable, "-c", "raise SystemExit(9)"]
+    qf = _q(tmp_path, [{"name": "s1", "cmd": boom, "timeout": 60,
+                        "cooldown": 0, "done_when": str(dw)}])
+    assert run_queue(qf) == {"s1": "done"}
+    marker = tmp_path / "markers" / "s1.done"
+    assert marker.exists() and "backfilled" in marker.read_text()
+    dw.unlink()                        # artifact gone: marker still rules
+    assert queue_status(qf) == {"s1": "done"}
+
+
+def test_queue_relative_paths_resolve_against_queue_root(tmp_path):
+    """Stage cmds run from the queue root (here: explicit "cwd" key) and
+    relative clean/artifact/marker paths resolve against it, regardless
+    of the master's launch CWD (ADVICE round-4)."""
+    root = tmp_path / "repo"
+    (root / "experiments").mkdir(parents=True)
+    (root / "runs").mkdir()
+    (root / "runs" / "stale.json").write_text("stale")
+    qf = root / "experiments" / "q.json"
+    cmd = [sys.executable, "-c",
+           ("import os; assert not os.path.exists('runs/stale.json'); "
+            "open('runs/out.json', 'w').write('x')")]
+    qf.write_text(json.dumps({
+        "cwd": "..", "marker_dir": "markers", "stages": [
+            {"name": "s1", "cmd": cmd, "timeout": 60, "cooldown": 0,
+             "clean": ["runs/stale.json"],
+             "artifacts": [["runs/out.json", "artifacts/out.json"]]}]}))
+    old = os.getcwd()
+    os.chdir(tmp_path)                 # launch from OUTSIDE the root
+    try:
+        assert run_queue(str(qf)) == {"s1": "done"}
+    finally:
+        os.chdir(old)
+    assert (root / "artifacts" / "out.json").read_text() == "x"
+    assert (root / "markers" / "s1.done").exists()
+
+
+def test_queue_root_autodetect_walks_to_repo_root(tmp_path):
+    from fthmc_tpu.runner import _queue_root
+    root = tmp_path / "proj"
+    (root / "experiments").mkdir(parents=True)
+    (root / "pyproject.toml").write_text("")
+    assert _queue_root(str(root / "experiments" / "q.json"), {}) == str(root)
+    # no pyproject/.git anywhere above: falls back to the file's dir
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    assert _queue_root(str(bare / "q.json"), {}) == str(bare)
