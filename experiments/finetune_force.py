@@ -76,14 +76,53 @@ def main():
     p.add_argument("--eval-nsteps", type=int, nargs="+",
                    default=[24, 32, 48, 64])
     p.add_argument("--eval-ntraj", type=int, default=192)
+    # Mobility-first selection (round-5, VERDICT item 2): the round-4
+    # fermaware A/B proved acceptance is the WRONG selection metric
+    # (smoother flow, x1.5 LESS topological mobility at equal cost).
+    # With --probe-mass > 0 the harness probes wall-clock mobility
+    # (B*mob/s, fthmc_tpu.mobility) of the parent, of intermediate
+    # checkpoints every --probe-every steps, and of the final flow, and
+    # saves the best-by-mobility params to <out>/checkpoints_bestmob.
+    p.add_argument("--probe-mass", type=float, default=0.0,
+                   help="enable dynamical mobility probes at this fermion "
+                        "mass (production selection regime: 0.1)")
+    p.add_argument("--probe-every", type=int, default=0,
+                   help="probe intermediate params every K fine-tune "
+                        "steps (0: only parent + final)")
+    p.add_argument("--probe-chains", type=int, default=128)
+    p.add_argument("--probe-ntraj", type=int, default=768)
+    p.add_argument("--probe-therm", type=int, default=256)
+    p.add_argument("--probe-nstep", type=int, default=4)
+    p.add_argument("--probe-tau", type=float, default=0.5)
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the JAX platform (config-level override; "
+                        "JAX_PLATFORMS env is ignored on axon VMs)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.out, exist_ok=True)
 
     state, meta, spec, tcfg = load_checkpoint_auto(args.ckpt)
     params0 = state.params
     print(f"flow: {spec.coupling} x{spec.n_layers}", flush=True)
     results = {"args": vars(args)}
+
+    def probe(params, tag, step):
+        from fthmc_tpu.mobility import mobility_probe
+        st = mobility_probe(params, spec, L=args.L, beta=args.beta,
+                            mass=args.probe_mass,
+                            n_chains=args.probe_chains,
+                            ntraj=args.probe_ntraj,
+                            therm=args.probe_therm, tau=args.probe_tau,
+                            nstep=args.probe_nstep,
+                            key=jax.random.PRNGKey(97))
+        st["tag"], st["step"] = tag, step
+        print(f"  mobility[{tag} step {step}]: B*mob/s = "
+              f"{st['B_mob_per_s']:.3g} +- {st['B_mob_per_s_err']:.2g} "
+              f"(acc {st['acc']:.3f}, {st['n_events']:.0f} events)",
+              flush=True)
+        return st
 
     # cold start for the harvest + evals
     z_cold = flow_reverse(
@@ -132,7 +171,13 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    probes = []
+    if args.probe_mass > 0:
+        probes.append(probe(params0, "parent", 0))
+
     params = params0
+    best = {"params": params0, "step": 0,
+            "B_mob_per_s": probes[0]["B_mob_per_s"] if probes else 0.0}
     t0 = time.time()
     losses = []
     for i in range(args.steps):
@@ -141,10 +186,35 @@ def main():
         losses.append(float(loss))
         if i % 100 == 0:
             print(f"step {i}: F^2/V = {losses[-1]:.4f}", flush=True)
+        if (args.probe_mass > 0 and args.probe_every > 0
+                and (i + 1) % args.probe_every == 0
+                and (i + 1) < args.steps):
+            st = probe(params, "tuned", i + 1)
+            probes.append(st)
+            if st["B_mob_per_s"] > best["B_mob_per_s"]:
+                best = {"params": params, "step": i + 1,
+                        "B_mob_per_s": st["B_mob_per_s"]}
     print(f"fine-tune wall {time.time()-t0:.0f}s; F^2/V "
           f"{losses[0]:.4f} -> {np.mean(losses[-50:]):.4f}", flush=True)
     results["force_loss_first"] = losses[0]
     results["force_loss_final"] = float(np.mean(losses[-50:]))
+    if args.probe_mass > 0:
+        st = probe(params, "tuned", args.steps)
+        probes.append(st)
+        if st["B_mob_per_s"] > best["B_mob_per_s"]:
+            best = {"params": params, "step": args.steps,
+                    "B_mob_per_s": st["B_mob_per_s"]}
+        results["mobility_probes"] = [
+            {k: v for k, v in p.items()} for p in probes]
+        results["mobility_best_step"] = best["step"]
+        results["mobility_best"] = best["B_mob_per_s"]
+        save_checkpoint(os.path.join(args.out, "checkpoints_bestmob"),
+                        state._replace(params=best["params"]),
+                        era=meta.get("era", 0), epoch=best["step"],
+                        train_cfg=tcfg)
+        print(f"best-by-mobility: step {best['step']} "
+              f"(B*mob/s {best['B_mob_per_s']:.3g}) -> "
+              f"{args.out}/checkpoints_bestmob", flush=True)
 
     # 4. re-eval with the SAME cold start + eval seeds
     print("fine-tuned acc:", flush=True)

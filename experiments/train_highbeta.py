@@ -74,6 +74,29 @@ def main():
     p.add_argument("--eval-ntraj", type=int, default=256)
     p.add_argument("--tau", type=float, default=1.0)
     p.add_argument("--nsteps", type=int, nargs="+", default=[32, 64, 128])
+    # Per-era mobility probe (round-5, VERDICT item 2b): the round-4
+    # fermaware chain showed acceptance-selected flows can lose x1.5
+    # topological mobility at equal cost; with --mob-probe-every > 0 the
+    # trainer runs fthmc_tpu.mobility.mobility_probe on the era
+    # checkpoint, records the curve, and keeps the best-by-mobility
+    # params in <outdir>/checkpoints_bestmob.
+    p.add_argument("--mob-probe-every", type=int, default=0,
+                   help="probe mobility every K eras (0: off; the last "
+                        "era is always probed when on)")
+    p.add_argument("--mob-probe-mass", type=float, default=0.1,
+                   help="fermion mass for the probe (0: quenched)")
+    p.add_argument("--mob-probe-beta", type=float, default=None,
+                   help="probe beta (default: --beta)")
+    p.add_argument("--mob-probe-chains", type=int, default=128)
+    p.add_argument("--mob-probe-ntraj", type=int, default=768)
+    p.add_argument("--mob-probe-therm", type=int, default=256)
+    p.add_argument("--mob-probe-nstep", type=int, default=4)
+    p.add_argument("--mob-probe-tau", type=float, default=0.5)
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the JAX platform (config-level override: "
+                        "the axon sitecustomize ignores JAX_PLATFORMS env "
+                        "— CLAUDE.md). Use for CPU smoke runs so they "
+                        "don't contend with a production TPU scan.")
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--init-ckpt", default=None,
                    help="warm-start: load flow params from this checkpoint "
@@ -81,6 +104,8 @@ def main():
                         "staged-anneal recipe: init from the beta=3 flagship "
                         "flow and anneal 3 -> 5 instead of 2 -> 5 cold.")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.outdir, exist_ok=True)
     spec = FlowSpec(n_layers=args.n_layers, coupling=args.coupling,
@@ -122,7 +147,45 @@ def main():
         from fthmc_tpu.config import SchedulerConfig
         sched = (SchedulerConfig(factor=0.5, patience=30, cooldown=30)
                  if args.sched else None)
-        state, hist = train(cfg, state, scheduler=sched, callback=cb)
+
+        mob_hist: list = []
+        best_mob = {"era": -1, "B_mob_per_s": -1.0}
+
+        def mob_ckfn(era, st, history):
+            if args.mob_probe_every <= 0:
+                return
+            if ((era + 1) % args.mob_probe_every != 0
+                    and era != cfg.n_era - 1):
+                return
+            from fthmc_tpu.mobility import mobility_probe
+            pr = mobility_probe(
+                st.params, spec, L=args.L,
+                beta=(args.mob_probe_beta
+                      if args.mob_probe_beta is not None else args.beta),
+                mass=args.mob_probe_mass, n_chains=args.mob_probe_chains,
+                ntraj=args.mob_probe_ntraj, therm=args.mob_probe_therm,
+                tau=args.mob_probe_tau, nstep=args.mob_probe_nstep,
+                key=jax.random.PRNGKey(911))
+            pr["era"] = era
+            mob_hist.append(pr)
+            print(f"era {era}: mobility B*mob/s = "
+                  f"{pr['B_mob_per_s']:.3g} +- "
+                  f"{pr['B_mob_per_s_err']:.2g} (acc {pr['acc']:.3f}, "
+                  f"{pr['n_events']:.0f} events)", flush=True)
+            if pr["B_mob_per_s"] > best_mob["B_mob_per_s"]:
+                best_mob.update(era=era,
+                                B_mob_per_s=pr["B_mob_per_s"])
+                save_checkpoint(ckptdir + "_bestmob", st, era=era,
+                                epoch=cfg.n_epoch, train_cfg=cfg)
+
+        state, hist = train(cfg, state, scheduler=sched, callback=cb,
+                            checkpoint_fn=mob_ckfn)
+        if mob_hist:
+            results["mob_probes"] = mob_hist
+            results["mob_best_era"] = best_mob["era"]
+            print(f"best-by-mobility era: {best_mob['era']} "
+                  f"({best_mob['B_mob_per_s']:.3g}) -> "
+                  f"{ckptdir}_bestmob", flush=True)
         wall = time.time() - t0
         print(f"train wall {wall:.1f}s "
               f"({cfg.n_era * cfg.n_epoch / wall:.1f} steps/s)", flush=True)
