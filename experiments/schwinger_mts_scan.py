@@ -172,11 +172,38 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
         def seg(state, k):
             return _run_hmc_dyn_scan(k, state, cfg, cb)
 
-    def run(state, k0, n_segments, timed, tag=""):
+    # SIGALRM hang watchdog (round-5: a 64^2 FT row hung mid-run — the
+    # silent-worker-death mode where the sync blocks forever instead of
+    # raising, so the row retry loop never fires). First block gets
+    # compile headroom (the 64^2 bf16 fused-CG program takes ~25 min to
+    # build); later blocks 10x their own median wall. A hang fast-fails
+    # the PROCESS (os._exit) so the queue's retry relaunches cleanly
+    # after the worker's 90 s recovery window, instead of burning the
+    # stage timeout.
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("block watchdog")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    def run(state, k0, n_segments, timed, tag="", walls=[]):
         hs, t0 = [], time.time()
         for j in range(n_segments):
-            state, h = seg(state, jax.random.fold_in(k0, j))
-            float(jnp.sum(state))   # sync (block_until_ready unreliable)
+            budget = (3600 if not walls
+                      else min(3600, int(10 * np.median(walls)) + 120))
+            tb = time.time()
+            try:
+                signal.alarm(budget)
+                state, h = seg(state, jax.random.fold_in(k0, j))
+                float(jnp.sum(state))   # sync (block_until_ready unreliable)
+                signal.alarm(0)
+            except TimeoutError:
+                print(f"  [{rs}] {tag} block {j + 1}/{n_segments} HUNG "
+                      f"(> {budget}s): silent worker death — fast-failing "
+                      "for a clean queue retry", flush=True)
+                os._exit(3)
+            walls.append(time.time() - tb)
             if timed:
                 hs.append(h)
             if tag and (j % 4 == 3 or j == n_segments - 1):
