@@ -93,8 +93,21 @@ def main():
     p.add_argument("--max-extra-wall", type=float, default=0,
                    help="wall budget (s) for the --min-events extension, "
                         "per row")
+    p.add_argument("--no-row-persist", action="store_true",
+                   help="disable per-block row state persistence/resume "
+                        "(round-5: on by default so worker crashes cost "
+                        "one block, not the row)")
+    p.add_argument("--block-pause", type=float, default=0.0,
+                   help="sleep this many seconds between call-blocks "
+                        "(crash avoidance: the worker dies under "
+                        "SUSTAINED heavy 64^2 programs)")
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the JAX platform (config-level override; "
+                        "JAX_PLATFORMS env is ignored on axon VMs)")
     p.add_argument("--row", action="append", required=True)
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.out, exist_ok=True)
     from fthmc_tpu import fermion
     fermion.set_cg_backend(args.cg_backend)
@@ -172,14 +185,25 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
         def seg(state, k):
             return _run_hmc_dyn_scan(k, state, cfg, cb)
 
-    # SIGALRM hang watchdog (round-5: a 64^2 FT row hung mid-run — the
-    # silent-worker-death mode where the sync blocks forever instead of
-    # raising, so the row retry loop never fires). First block gets
-    # compile headroom (the 64^2 bf16 fused-CG program takes ~25 min to
-    # build); later blocks 10x their own median wall. A hang fast-fails
-    # the PROCESS (os._exit) so the queue's retry relaunches cleanly
-    # after the worker's 90 s recovery window, instead of burning the
-    # stage timeout.
+    # --- Round-5 resilience: watchdog + per-block persistence/resume ---
+    # The axon worker dies SILENTLY under sustained 64^2 FT load every
+    # ~15-20 min on some VMs (two kills this round, both mid-row): the
+    # sync blocks forever, so neither the row retry loop nor the queue
+    # timeout recovers the work. Two measures, both on by default:
+    #   1. SIGALRM block watchdog — first block gets compile headroom
+    #      (the 64^2 bf16 fused-CG program takes up to ~25 min to build),
+    #      later blocks 10x their median wall; a hang fast-fails the
+    #      PROCESS (os._exit(3)) so the queue retry relaunches after the
+    #      worker's ~90 s recovery window instead of burning the stage
+    #      timeout.
+    #   2. Per-block row state persistence ({out}/rowN_<fp>.npz: chain
+    #      state + timed histories + walls + therm progress) — a retry
+    #      RESUMES the row where the worker died instead of restarting
+    #      (completed rows re-reduce with zero device work). The lost
+    #      in-flight block leaves one uncounted gap between persisted
+    #      blocks; mobility is a rate over counted transitions, so the
+    #      estimate stays unbiased.
+    import hashlib
     import signal
 
     def _alarm(signum, frame):
@@ -187,62 +211,113 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
 
     signal.signal(signal.SIGALRM, _alarm)
 
-    def run(state, k0, n_segments, timed, tag="", walls=[]):
-        hs, t0 = [], time.time()
-        for j in range(n_segments):
-            budget = (3600 if not walls
-                      else min(3600, int(10 * np.median(walls)) + 120))
-            tb = time.time()
-            try:
-                signal.alarm(budget)
-                state, h = seg(state, jax.random.fold_in(k0, j))
-                float(jnp.sum(state))   # sync (block_until_ready unreliable)
-                signal.alarm(0)
-            except TimeoutError:
-                print(f"  [{rs}] {tag} block {j + 1}/{n_segments} HUNG "
-                      f"(> {budget}s): silent worker death — fast-failing "
-                      "for a clean queue retry", flush=True)
-                os._exit(3)
-            walls.append(time.time() - tb)
-            if timed:
-                hs.append(h)
-            if tag and (j % 4 == 3 or j == n_segments - 1):
-                print(f"  [{rs}] {tag} {j + 1}/{n_segments} blocks "
-                      f"({time.time() - t0:.0f}s)", flush=True)
-        return state, hs, time.time() - t0
+    fields = ("dh", "exp_mdh", "acc", "plaq", "q", "dq")
+    fp = hashlib.sha1(
+        f"{rs}|{cb}|{args.chains}|{args.L}|{args.beta}|{args.mass}|"
+        f"{args.cg_backend}|{args.conv_dtype}".encode()).hexdigest()[:8]
+    state_path = os.path.join(args.out, f"row{i}_{fp}.npz")
+    th_done = 0
+    hist = {f: [] for f in fields}
+    walls: list[float] = []            # per-TIMED-block walls
+    bwalls: list[float] = []           # all block walls (budget calc)
+    if not args.no_row_persist and os.path.exists(state_path):
+        d = np.load(state_path)
+        state = jnp.asarray(d["z"])
+        th_done = int(d["th_done"])
+        for f in fields:
+            if d[f].shape[0]:
+                hist[f] = [d[f]]
+        walls = [float(w) for w in d["walls"]]
+        print(f"  [{rs}] RESUME: therm {th_done}/{nseg_therm} blocks, "
+              f"{len(walls)} timed blocks persisted", flush=True)
 
-    state, _, _ = run(state, jax.random.fold_in(key, 1), nseg_therm,
-                      False, tag="therm")
-    state, hs, wall = run(state, key, nseg, True, tag="timed")
+    def persist():
+        if args.no_row_persist:
+            return
+        np.savez(state_path, z=np.asarray(state), th_done=th_done,
+                 walls=np.asarray(walls, np.float64),
+                 **{f: (np.concatenate(hist[f]) if hist[f]
+                        else np.zeros((0, args.chains), np.float32))
+                    for f in fields})
 
-    def mob_events(hs):
-        q = np.concatenate([np.asarray(h.q) for h in hs])
+    def one_block(st, k, tag, j, n):
+        budget = (3600 if not bwalls
+                  else min(3600, int(10 * np.median(bwalls)) + 120))
+        tb = time.time()
+        try:
+            signal.alarm(budget)
+            st, h = seg(st, k)
+            float(jnp.sum(st))     # sync (block_until_ready unreliable)
+            signal.alarm(0)
+        except TimeoutError:
+            persist()
+            print(f"  [{rs}] {tag} block {j + 1}/{n} HUNG (> {budget}s): "
+                  "silent worker death — fast-failing for a clean queue "
+                  "retry (row state persisted)", flush=True)
+            os._exit(3)
+        bwalls.append(time.time() - tb)
+        if args.block_pause > 0:
+            time.sleep(args.block_pause)
+        return st, h, bwalls[-1]
+
+    t0 = time.time()
+    k_th = jax.random.fold_in(key, 1)
+    for j in range(th_done, nseg_therm):
+        state, _, _ = one_block(state, jax.random.fold_in(k_th, j),
+                                "therm", j, nseg_therm)
+        th_done = j + 1
+        if j % 4 == 3 or j == nseg_therm - 1:
+            persist()
+            print(f"  [{rs}] therm {j + 1}/{nseg_therm} blocks "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    def add_timed(k, tag, j, n):
+        nonlocal state
+        state, h, w = one_block(state, k, tag, j, n)
+        for f in fields:
+            hist[f].append(np.asarray(getattr(h, f)))
+        walls.append(w)
+        persist()
+
+    def mob_events():
+        q = np.concatenate(hist["q"])
         mob = float(np.mean(np.abs(np.diff(q, axis=0)) ** 2))
         # only len(q)-1 transitions exist per chain (ADVICE round-4: the
         # floor gates verdicts, so the event count must be exact)
         return mob, mob * (len(q) - 1) * q.shape[1]
 
+    t0 = time.time()
+    for j in range(len(walls), nseg):
+        add_timed(jax.random.fold_in(key, 100000 + j), "timed", j, nseg)
+        if j % 4 == 3 or j == nseg - 1:
+            print(f"  [{rs}] timed {j + 1}/{nseg} blocks "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
     # statistics-floor auto-extension (round-4): keep adding timed
     # call-blocks until the tunneling-event count clears --min-events or
-    # the --max-extra-wall budget is spent. Low-count rows are flagged
+    # the --max-extra-wall budget is spent (per attempt; a resumed retry
+    # gets a fresh extension budget, so progress accumulates toward the
+    # floor across worker crashes). Low-count rows are flagged
     # valid=false either way (schwinger_table.py refuses to turn them
     # into verdicts).
-    mob, nev = mob_events(hs)
-    j_ext, wall_ext = 0, 0.0
+    mob, nev = mob_events()
+    j_ext, wall_ext = len(walls) - nseg, 0.0
     while (args.min_events > 0 and nev < args.min_events
            and wall_ext < args.max_extra_wall):
-        state, hs2, w2 = run(
-            state, jax.random.fold_in(jax.random.fold_in(key, 2), j_ext),
-            1, True, tag=f"ext({nev:.0f}/{args.min_events:.0f}ev)")
-        hs.extend(hs2)
-        wall += w2
-        wall_ext += w2
+        add_timed(jax.random.fold_in(jax.random.fold_in(key, 2), j_ext),
+                  f"ext({nev:.0f}/{args.min_events:.0f}ev)", j_ext, -1)
+        wall_ext += walls[-1]
         j_ext += 1
-        mob, nev = mob_events(hs)
+        mob, nev = mob_events()
+        if j_ext % 4 == 0:
+            print(f"  [{rs}] ext {nev:.0f}/{args.min_events:.0f} events "
+                  f"({wall_ext:.0f}s of {args.max_extra_wall:.0f}s)",
+                  flush=True)
 
-    h = jax.tree.map(lambda *a: np.concatenate(
-        [np.asarray(x) for x in a]), *hs)
-    ntraj = len(hs) * cb
+    from fthmc_tpu.hmc import TrajMetrics
+    h = TrajMetrics(**{f: np.concatenate(hist[f]) for f in fields})
+    wall = float(np.sum(walls))
+    ntraj = len(walls) * cb
     row = dict(**r, tau_used=tau,
                acc=float(np.asarray(h.acc).mean()),
                exp_mdh=float(np.asarray(h.exp_mdh).mean()),
