@@ -19,10 +19,28 @@ import sys
 
 
 def main():
+    import signal
+
     from fthmc_tpu.bench import bench_fthmc_flagship, bench_hmc_leapfrog
     r = bench_hmc_leapfrog(L=64, chains=1024, beta=6.0, nstep=25, ntraj=20)
+    # the headline line goes out FIRST: the flagship extras below can hit
+    # the axon silent-hang mode (sync blocks forever), and the driver's
+    # one-line contract must survive that — plus a SIGALRM bound so the
+    # process itself exits
+    print(json.dumps({
+        "metric": r["metric"],
+        "value": r["value"],
+        "unit": r["unit"],
+        "vs_baseline": r["vs_baseline"],
+    }), flush=True)
     extra = {"headline": r}
+
+    def _alarm(signum, frame):
+        raise TimeoutError("flagship bench watchdog")
+
+    signal.signal(signal.SIGALRM, _alarm)
     try:
+        signal.alarm(1200)
         f16 = bench_fthmc_flagship(L=16, chains=64, nstep=8, ntraj=4)
         print(f"flagship FT 16^2 fp32: {f16['value']:.3g} chain-steps/s "
               f"({f16['s_per_traj']*1e3:.1f} ms/traj)", file=sys.stderr)
@@ -32,20 +50,16 @@ def main():
         print(f"flagship FT 64^2 bf16: {f64['value']:.3g} chain-steps/s "
               f"({f64['s_per_traj']*1e3:.1f} ms/traj)", file=sys.stderr)
         extra["fthmc_flagship_L64_bf16"] = f64
-    except Exception as e:  # never break the driver's one-line contract
+    except Exception as e:  # incl. the watchdog TimeoutError
         print(f"flagship FT bench failed: {e}", file=sys.stderr)
         extra["fthmc_flagship_error"] = str(e)
+    finally:
+        signal.alarm(0)
     try:
         with open("BENCH_extra.json", "w") as fh:
             json.dump(extra, fh, indent=1)
     except OSError as e:
         print(f"BENCH_extra.json write failed: {e}", file=sys.stderr)
-    print(json.dumps({
-        "metric": r["metric"],
-        "value": r["value"],
-        "unit": r["unit"],
-        "vs_baseline": r["vs_baseline"],
-    }))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,10 @@ def main():
     p.add_argument("--probe-therm", type=int, default=256)
     p.add_argument("--probe-nstep", type=int, default=4)
     p.add_argument("--probe-tau", type=float, default=0.5)
+    p.add_argument("--probe-min-events", type=float, default=30,
+                   help="statistics floor (auto-extends); below-floor "
+                        "probes never select the best checkpoint")
+    p.add_argument("--probe-max-extra", type=int, default=8)
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the JAX platform (config-level override; "
                         "JAX_PLATFORMS env is ignored on axon VMs)")
@@ -116,11 +120,14 @@ def main():
                             ntraj=args.probe_ntraj,
                             therm=args.probe_therm, tau=args.probe_tau,
                             nstep=args.probe_nstep,
+                            min_events=args.probe_min_events,
+                            max_extra_blocks=args.probe_max_extra,
                             key=jax.random.PRNGKey(97))
         st["tag"], st["step"] = tag, step
         print(f"  mobility[{tag} step {step}]: B*mob/s = "
               f"{st['B_mob_per_s']:.3g} +- {st['B_mob_per_s_err']:.2g} "
-              f"(acc {st['acc']:.3f}, {st['n_events']:.0f} events)",
+              f"(acc {st['acc']:.3f}, {st['n_events']:.0f} events"
+              f"{'' if st['valid'] else ', BELOW FLOOR'})",
               flush=True)
         return st
 
@@ -177,7 +184,8 @@ def main():
 
     params = params0
     best = {"params": params0, "step": 0,
-            "B_mob_per_s": probes[0]["B_mob_per_s"] if probes else 0.0}
+            "B_mob_per_s": (probes[0]["B_mob_per_s"]
+                            if probes and probes[0]["valid"] else 0.0)}
     t0 = time.time()
     losses = []
     for i in range(args.steps):
@@ -191,7 +199,7 @@ def main():
                 and (i + 1) < args.steps):
             st = probe(params, "tuned", i + 1)
             probes.append(st)
-            if st["B_mob_per_s"] > best["B_mob_per_s"]:
+            if st["valid"] and st["B_mob_per_s"] > best["B_mob_per_s"]:
                 best = {"params": params, "step": i + 1,
                         "B_mob_per_s": st["B_mob_per_s"]}
     print(f"fine-tune wall {time.time()-t0:.0f}s; F^2/V "
@@ -201,7 +209,7 @@ def main():
     if args.probe_mass > 0:
         st = probe(params, "tuned", args.steps)
         probes.append(st)
-        if st["B_mob_per_s"] > best["B_mob_per_s"]:
+        if st["valid"] and st["B_mob_per_s"] > best["B_mob_per_s"]:
             best = {"params": params, "step": args.steps,
                     "B_mob_per_s": st["B_mob_per_s"]}
         results["mobility_probes"] = [

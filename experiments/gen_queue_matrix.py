@@ -97,6 +97,12 @@ def cell_stages(L, beta, rows):
                "--cg-backend", "fused"]
         if sampler == "ft" and v["conv"]:
             cmd += ["--conv-dtype", v["conv"]]
+        if sampler == "ft" and L == 64:
+            # round-5 crash ledger (CLAUDE.md): the worker dies under
+            # SUSTAINED 64^2 FT block streams — duty-cycle the blocks
+            # and give the resumable rows enough attempts to accumulate
+            # to the floor across crashes
+            cmd += ["--block-pause", "10"]
         for n in nsteps:
             if sampler == "plain":
                 cmd += ["--row", f"plain:{n}:0:tau=2.0"]
@@ -107,7 +113,10 @@ def cell_stages(L, beta, rows):
         if sampler == "ft" and L == 64:
             per_traj = 1.2
         est = len(nsteps) * ((th + nt) * per_traj + EXTRA_WALL[L]) + 900
-        out.append(stage(name, cmd, name, int(min(est * 1.5, 21600))))
+        st_ = stage(name, cmd, name, int(min(est * 1.5, 21600)))
+        if sampler == "ft" and L == 64:
+            st_["retries"] = 4
+        out.append(st_)
     return out
 
 

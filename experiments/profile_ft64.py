@@ -43,12 +43,17 @@ from fthmc_tpu.schwinger import (SchwingerConfig, _run_fthmc_dyn_scan,
                                  fthmc_step_dyn)
 
 
-def timed(fn, args, chain_idx=None, reps=5, sync=None):
-    """Median wall of a warmed jitted fn; chains args[chain_idx] between
-    reps (execution dedup returns cached results for identical inputs)."""
+def timed(fn, args, chain, reps=5):
+    """Median wall of a warmed jitted fn. `chain(args, out) -> args` MUST
+    return fresh inputs every rep: the axon terminal dedups identical
+    remote executions (CLAUDE.md), so repeating the same args times the
+    RPC cache, not the compute. Every call site perturbs its input at
+    1e-6 scale (cost-neutral: CG iteration counts and conv work are
+    insensitive to it) or feeds the previous output forward."""
     out = fn(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
     float(jnp.sum(leaf))                       # warmup + fence
+    args = chain(args, out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -56,11 +61,18 @@ def timed(fn, args, chain_idx=None, reps=5, sync=None):
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf))
         times.append(time.perf_counter() - t0)
-        if chain_idx is not None:
-            lst = list(args)
-            lst[chain_idx] = out if not isinstance(out, tuple) else out[0]
-            args = tuple(lst)
+        args = chain(args, out)
     return float(np.median(times))
+
+
+def _jitter0(args, out):
+    """Chain helper: nudge the first array arg by a cost-neutral 1e-6
+    perturbation derived from the OUTPUT (forces real execution — the
+    next input depends on the previous result, so dedup cannot fire)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    bump = 1e-6 * (1.0 + jnp.tanh(jnp.sum(leaf).astype(jnp.float32)
+                                  * 1e-6))
+    return (args[0] + bump,) + tuple(args[1:])
 
 
 def main():
@@ -112,27 +124,33 @@ def main():
         print(f"  {name:>22}: {1e3 * t:8.2f} ms/{per}", flush=True)
 
     fwd = jax.jit(lambda zz: flow_forward(params, zz, spec, remat=False))
-    rec("flow_fwd", timed(fwd, (z,), reps=args.reps))
+    rec("flow_fwd", timed(fwd, (z,), _jitter0, reps=args.reps))
 
     for tag, rm in (("vjp_gauge_noremat", False), ("vjp_gauge_remat", True)):
         g = jax.jit(lambda zz, rm=rm: ft_gauge_force(params, spec, zz,
                                                      cfg.beta, rm))
-        rec(tag, timed(g, (z,), reps=args.reps))
+        rec(tag, timed(g, (z,), _jitter0, reps=args.reps))
 
     cg = jax.jit(lambda yy: fermion.cg_solve(
         yy, phi, cfg.mass, guess, tol=cfg.cg_tol_force,
         maxiter=cfg.cg_maxiter, eo=cfg.eo_precond).x)
-    rec("cg_force_coldguess", timed(cg, (y,), reps=args.reps))
+    rec("cg_force_coldguess", timed(cg, (y,), _jitter0, reps=args.reps))
     res = fermion.cg_solve(y, phi, cfg.mass, guess, tol=cfg.cg_tol_force,
                            maxiter=cfg.cg_maxiter, eo=cfg.eo_precond)
     cg_w = jax.jit(lambda yy, g0: fermion.cg_solve(
         yy, phi, cfg.mass, g0, tol=cfg.cg_tol_force,
         maxiter=cfg.cg_maxiter, eo=cfg.eo_precond).x)
-    rec("cg_force_warmguess", timed(cg_w, (y, res.x), reps=args.reps))
+    # warm-guess chain: jitter the field AND feed the previous solution
+    # forward as the next guess (still a warm guess for the jittered
+    # system; execution is forced because inputs depend on the output)
+    rec("cg_force_warmguess",
+        timed(cg_w, (y, res.x),
+              lambda a, out: (_jitter0((a[0],), out)[0], out),
+              reps=args.reps))
 
     ff = jax.jit(lambda zz: ft_dyn_force(params, spec, zz, cfg, phi,
                                          res.x, False)[0])
-    rec("force_full", timed(ff, (z,), reps=args.reps))
+    rec("force_full", timed(ff, (z,), _jitter0, reps=args.reps))
 
     for tag in ("bf16", "fp32"):
         sp = specs[tag]
@@ -140,8 +158,9 @@ def main():
             params, sp, k, zz, q, cfg)[0])
         q0 = lattice.batch_charges(flow_forward(params, z, sp,
                                                 remat=False)[0])
-        t = timed(stepf, (jax.random.PRNGKey(8), z, q0), chain_idx=1,
-                  reps=args.reps)
+        # feed the accepted state forward: a real chain, never deduped
+        t = timed(stepf, (jax.random.PRNGKey(8), z, q0),
+                  lambda a, out: (a[0], out, a[2]), reps=args.reps)
         rec(f"step_traj_{tag}", t, per="traj")
         results[f"step_per_force_{tag}"] = t / (2 * args.nstep)
 

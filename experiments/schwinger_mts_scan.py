@@ -211,7 +211,8 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
 
     signal.signal(signal.SIGALRM, _alarm)
 
-    fields = ("dh", "exp_mdh", "acc", "plaq", "q", "dq")
+    from fthmc_tpu.hmc import TrajMetrics
+    fields = TrajMetrics._fields
     fp = hashlib.sha1(
         f"{rs}|{cb}|{args.chains}|{args.L}|{args.beta}|{args.mass}|"
         f"{args.cg_backend}|{args.conv_dtype}".encode()).hexdigest()[:8]
@@ -221,24 +222,32 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
     walls: list[float] = []            # per-TIMED-block walls
     bwalls: list[float] = []           # all block walls (budget calc)
     if not args.no_row_persist and os.path.exists(state_path):
-        d = np.load(state_path)
-        state = jnp.asarray(d["z"])
-        th_done = int(d["th_done"])
-        for f in fields:
-            if d[f].shape[0]:
-                hist[f] = [d[f]]
-        walls = [float(w) for w in d["walls"]]
-        print(f"  [{rs}] RESUME: therm {th_done}/{nseg_therm} blocks, "
-              f"{len(walls)} timed blocks persisted", flush=True)
+        try:
+            d = np.load(state_path)
+            state = jnp.asarray(d["z"])
+            th_done = int(d["th_done"])
+            for f in fields:
+                if d[f].shape[0]:
+                    hist[f] = [d[f]]
+            walls = [float(w) for w in d["walls"]]
+            print(f"  [{rs}] RESUME: therm {th_done}/{nseg_therm} blocks, "
+                  f"{len(walls)} timed blocks persisted", flush=True)
+        except Exception as e:   # torn write / partial file: cold start
+            print(f"  [{rs}] persisted state unreadable ({e}); "
+                  "cold-starting the row", flush=True)
+            th_done, hist, walls = 0, {f: [] for f in fields}, []
 
     def persist():
         if args.no_row_persist:
             return
-        np.savez(state_path, z=np.asarray(state), th_done=th_done,
+        # atomic: a kill mid-write must never poison the resume file
+        tmp = state_path + ".tmp.npz"
+        np.savez(tmp, z=np.asarray(state), th_done=th_done,
                  walls=np.asarray(walls, np.float64),
                  **{f: (np.concatenate(hist[f]) if hist[f]
                         else np.zeros((0, args.chains), np.float32))
                     for f in fields})
+        os.replace(tmp, state_path)
 
     def one_block(st, k, tag, j, n):
         budget = (3600 if not bwalls
@@ -248,13 +257,15 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
             signal.alarm(budget)
             st, h = seg(st, k)
             float(jnp.sum(st))     # sync (block_until_ready unreliable)
-            signal.alarm(0)
         except TimeoutError:
             persist()
             print(f"  [{rs}] {tag} block {j + 1}/{n} HUNG (> {budget}s): "
                   "silent worker death — fast-failing for a clean queue "
                   "retry (row state persisted)", flush=True)
             os._exit(3)
+        finally:
+            signal.alarm(0)        # a crash that RAISES must not leave a
+            #                        stray alarm to kill the row retry
         bwalls.append(time.time() - tb)
         if args.block_pause > 0:
             time.sleep(args.block_pause)
@@ -314,7 +325,6 @@ def _run_row(args, rs, i, rows, get_state, get_flow):
                   f"({wall_ext:.0f}s of {args.max_extra_wall:.0f}s)",
                   flush=True)
 
-    from fthmc_tpu.hmc import TrajMetrics
     h = TrajMetrics(**{f: np.concatenate(hist[f]) for f in fields})
     wall = float(np.sum(walls))
     ntraj = len(walls) * cb

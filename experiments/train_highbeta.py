@@ -92,6 +92,13 @@ def main():
     p.add_argument("--mob-probe-therm", type=int, default=256)
     p.add_argument("--mob-probe-nstep", type=int, default=4)
     p.add_argument("--mob-probe-tau", type=float, default=0.5)
+    p.add_argument("--mob-probe-min-events", type=float, default=30,
+                   help="statistics floor for the probe (auto-extends up "
+                        "to --mob-probe-max-extra blocks); below-floor "
+                        "probes are recorded but never select the best "
+                        "checkpoint — the round-4 lesson about verdicts "
+                        "on Poisson noise applies in-loop too")
+    p.add_argument("--mob-probe-max-extra", type=int, default=8)
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the JAX platform (config-level override: "
                         "the axon sitecustomize ignores JAX_PLATFORMS env "
@@ -165,14 +172,17 @@ def main():
                 mass=args.mob_probe_mass, n_chains=args.mob_probe_chains,
                 ntraj=args.mob_probe_ntraj, therm=args.mob_probe_therm,
                 tau=args.mob_probe_tau, nstep=args.mob_probe_nstep,
+                min_events=args.mob_probe_min_events,
+                max_extra_blocks=args.mob_probe_max_extra,
                 key=jax.random.PRNGKey(911))
             pr["era"] = era
             mob_hist.append(pr)
             print(f"era {era}: mobility B*mob/s = "
                   f"{pr['B_mob_per_s']:.3g} +- "
                   f"{pr['B_mob_per_s_err']:.2g} (acc {pr['acc']:.3f}, "
-                  f"{pr['n_events']:.0f} events)", flush=True)
-            if pr["B_mob_per_s"] > best_mob["B_mob_per_s"]:
+                  f"{pr['n_events']:.0f} events"
+                  f"{'' if pr['valid'] else ', BELOW FLOOR'})", flush=True)
+            if pr["valid"] and pr["B_mob_per_s"] > best_mob["B_mob_per_s"]:
                 best_mob.update(era=era,
                                 B_mob_per_s=pr["B_mob_per_s"])
                 save_checkpoint(ckptdir + "_bestmob", st, era=era,

@@ -282,7 +282,11 @@ def _run_stage_once(q: dict, stage: dict, log_path: str) -> bool:
             return False
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
         import shutil
-        shutil.copy2(src, dst)
+        if os.path.isdir(src):
+            # checkpoint directories must survive VM recycles too
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
     return True
 
 
@@ -345,8 +349,27 @@ def run_queue(path: str, only: str | None = None,
     failed stages are skipped unless retry_failed (or --only NAME)."""
     ran: set[str] = set()
     aborted = False
+    last_good: dict | None = None
     while not aborted:
-        q = load_queue(path)           # re-read: plan edits take effect here
+        # re-read: plan edits take effect here. A torn/invalid edit must
+        # not kill the long-lived master — retry briefly, then fall back
+        # to the last good plan (preserving the v1 guarantee).
+        q, err = None, None
+        for attempt in range(3):
+            try:
+                q = load_queue(path)
+                last_good = q
+                break
+            except Exception as e:
+                err = e
+                print(f"[queue] plan re-read failed ({e}); "
+                      f"{'retrying' if attempt < 2 else 'using last-good'}",
+                      flush=True)
+                time.sleep(5)
+        if q is None:
+            if last_good is None:
+                raise err
+            q = last_good
         os.makedirs(q["marker_dir"], exist_ok=True)
         stage = _pick_next(q, only, retry_failed, ran)
         if stage is None:
