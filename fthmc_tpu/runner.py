@@ -280,13 +280,21 @@ def _run_stage_once(q: dict, stage: dict, log_path: str) -> bool:
             with open(log_path, "a") as log:
                 log.write(f"=== missing artifact {src}\n")
             return False
-        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
-        import shutil
-        if os.path.isdir(src):
-            # checkpoint directories must survive VM recycles too
-            shutil.copytree(src, dst, dirs_exist_ok=True)
-        else:
-            shutil.copy2(src, dst)
+        try:
+            os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+            import shutil
+            if os.path.isdir(src):
+                # checkpoint directories must survive VM recycles too
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, dst)
+        except OSError as e:
+            # a copy failure is a STAGE failure, never a master death
+            # (round-5: an uncaught IsADirectoryError killed the master)
+            with open(log_path, "a") as log:
+                log.write(f"=== artifact copy failed {src} -> {dst}: "
+                          f"{e}\n")
+            return False
     return True
 
 
